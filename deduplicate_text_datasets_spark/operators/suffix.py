@@ -1,0 +1,437 @@
+"""ExactSubstr operators: self-similar, across-similar, count-occurrences,
+find-training-data.
+
+Reference (src/main.rs) builds one global suffix array and scans it in
+sorted order so equal length-L windows become *adjacent runs*
+(cmd_self_similar main.rs:807-960). The global SA is an artifact of
+single-machine design — at 10^12 docs it is petabytes streamed through one
+node (main.rs:817-826). The Spark-native equivalent of "group positions
+whose length-L windows are identical" is a **groupBy on a 128-bit window
+fingerprint**:
+
+  per shard (Arrow kernel, no per-row Python):
+      rolling polynomial hash of every length-L window     O(n) vectorized
+  global:
+      groupBy(h1, h2) with map-side partial aggregation    1 shuffle of
+                                                           24 B/position
+
+Equality of fingerprints == equality of windows up to hash collisions;
+with two independent 64-bit rolling hashes the collision probability over
+P positions is ~P^2/2^128 (< 1e-10 even at P = 10^14). The reference
+accepts an analogous approximation class via HACKSIZE (main.rs:1208-1216).
+
+Point queries (count-occurrences, find-training-data) keep a real per-shard
+suffix array: a prefix-doubling SA built with numpy argsort inside the
+kernel — the distributed "global SA" is the union of shard SAs plus the
+overlap ownership rule (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import ROLLHASH_X1, ROLLHASH_X2, ExactSubstrConfig
+from ..sources.corpus import (
+    assemble_shard_buffer,
+    assign_shards,
+    corpus_total_bytes,
+    with_offsets,
+)
+
+_U64 = np.uint64
+_MASK64 = (1 << 64) - 1
+_MIX = np.uint64(0xFF51AFD7ED558CCD)
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """Bijective finalizer (splitmix64-style): preserves equality classes,
+    spreads low bits so the shuffle hash-partitions evenly."""
+    h = h ^ (h >> np.uint64(33))
+    h = h * _MIX
+    h = h ^ (h >> np.uint64(29))
+    return h
+
+
+def window_hashes(buf: np.ndarray, length: int, x: int) -> np.ndarray:
+    """Polynomial rolling hash mod 2^64 of every length-L window, O(n).
+
+    h[i] = sum_{j=0..L-1} buf[i+j] * x^(L-1-j)  (mod 2^64)
+
+    Computed via the prefix-sum identity with x invertible (x odd):
+      c[k]   = buf[k] * x^(-k)
+      h[i]   = (sum_{k=i}^{i+L-1} c[k]) * x^(i+L-1)
+    numpy uint64 arithmetic wraps mod 2^64 exactly (C semantics).
+    """
+    n = len(buf)
+    m = n - length + 1
+    if m <= 0:
+        return np.empty(0, dtype=_U64)
+    xinv = pow(x, -1, 1 << 64)
+    # x^k and x^-k via cumprod (wraps mod 2^64)
+    xs = np.full(n, _U64(x), dtype=_U64)
+    xs[0] = 1
+    xpow = np.cumprod(xs)
+    xis = np.full(n, _U64(xinv), dtype=_U64)
+    xis[0] = 1
+    xipow = np.cumprod(xis)
+    c = buf.astype(_U64) * xipow
+    p = np.zeros(n + 1, dtype=_U64)
+    np.cumsum(c, out=p[1:])
+    s = p[length:] - p[:-length]  # wrap-safe mod 2^64
+    return _mix64(s * xpow[length - 1 :])
+
+
+def _fingerprint_kernel(
+    shard_pdf: pd.DataFrame, cfg: ExactSubstrConfig, total: int
+) -> pd.DataFrame:
+    """One shard -> (h1, h2, pos) for every *owned* position whose length-L
+    window is fully inside the corpus. Owned = [s*S, min((s+1)*S, total));
+    the trailing overlap is read, never emitted (ownership rule, the
+    analogue of the merge-time overlap skip, main.rs:1262-1278)."""
+    L = cfg.length_threshold
+    s = int(shard_pdf["shard_id"].iloc[0])
+    lo, buf = assemble_shard_buffer(
+        shard_pdf, cfg.shard_bytes, cfg.overlap_bytes, total, cfg.with_separators
+    )
+    own_lo = s * cfg.shard_bytes
+    own_hi = min((s + 1) * cfg.shard_bytes, total - L + 1)
+    if own_hi <= own_lo:
+        return pd.DataFrame({"h1": [], "h2": [], "pos": []}).astype(
+            {"h1": "int64", "h2": "int64", "pos": "int64"}
+        )
+    h1 = window_hashes(buf, L, ROLLHASH_X1)
+    h2 = window_hashes(buf, L, ROLLHASH_X2)
+    a, b = own_lo - lo, own_hi - lo
+    pos = np.arange(own_lo, own_hi, dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "h1": h1[a:b].view(np.int64),
+            "h2": h2[a:b].view(np.int64),
+            "pos": pos,
+        }
+    )
+
+
+FINGERPRINT_SCHEMA = T.StructType(
+    [
+        T.StructField("h1", T.LongType(), False),
+        T.StructField("h2", T.LongType(), False),
+        T.StructField("pos", T.LongType(), False),
+    ]
+)
+
+
+def window_fingerprints(
+    docs: DataFrame, cfg: ExactSubstrConfig, total: int | None = None
+) -> DataFrame:
+    """documents -> (h1, h2, pos) fingerprint frame (one row per corpus
+    position). ``docs`` may already carry offsets; if not they are added."""
+    if "byte_start" not in docs.columns:
+        docs = with_offsets(docs, cfg.with_separators)
+    if total is None:
+        total = corpus_total_bytes(docs)
+    shards = assign_shards(docs, cfg.shard_bytes, cfg.overlap_bytes)
+    return shards.select("shard_id", "doc_id", "byte_start", "text").groupBy(
+        "shard_id"
+    ).applyInPandas(
+        lambda pdf: _fingerprint_kernel(pdf, cfg, total), FINGERPRINT_SCHEMA
+    )
+
+
+def find_duplicates(fingerprints: DataFrame, cfg: ExactSubstrConfig) -> DataFrame:
+    """Self-similar (cmd_self_similar, main.rs:807-960): group positions by
+    window fingerprint; clusters of size >= 2 (and > frequency_threshold,
+    main.rs:914) are duplicates.
+
+    Plan shape: groupBy (map-side partial agg shrinks the shuffle to the
+    distinct-window count) + join-back restricted to duplicate windows only
+    (usually a tiny fraction => AQE turns it into a broadcast join). A hot
+    window (boilerplate repeated millions of times) lands in one reduce
+    group, but the aggregate is (count, min) — constant state, no blow-up;
+    the join-back is skew-split by AQE.
+
+    Returns duplicates(pos, cluster_id, cluster_size), cluster_id = min
+    member position (deterministic; reference numbering is order-dependent
+    so we fix min-member, SURVEY.md §7).
+    """
+    sizes = fingerprints.groupBy("h1", "h2").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("pos").alias("cluster_id"),
+    )
+    dup_sizes = sizes.filter(
+        (F.col("cluster_size") >= 2)
+        & (F.col("cluster_size") > cfg.frequency_threshold)
+    )
+    return fingerprints.join(dup_sizes, ["h1", "h2"]).select(
+        "pos", "cluster_id", "cluster_size"
+    )
+
+
+def self_similar(
+    docs: DataFrame, cfg: ExactSubstrConfig, total: int | None = None
+) -> DataFrame:
+    """documents -> duplicates(pos, cluster_id, cluster_size)."""
+    return find_duplicates(window_fingerprints(docs, cfg, total), cfg)
+
+
+def across_similar(
+    fingerprints_a: DataFrame, fingerprints_b: DataFrame, cfg: ExactSubstrConfig
+) -> tuple[DataFrame, DataFrame]:
+    """cmd_across_similar (main.rs:962-1158): emit positions of A whose
+    window also occurs in B, and vice versa — i.e. two left-semi joins on
+    the window key. The reference's merge-interleave drain of equal runs on
+    both sides *is* a sort-merge semi-join; Catalyst picks SMJ/BHJ and AQE
+    handles skewed keys."""
+    keys_a = fingerprints_a.select("h1", "h2").distinct()
+    keys_b = fingerprints_b.select("h1", "h2").distinct()
+    dups_a = fingerprints_a.join(keys_b, ["h1", "h2"], "left_semi").select("pos")
+    dups_b = fingerprints_b.join(keys_a, ["h1", "h2"], "left_semi").select("pos")
+    return dups_a, dups_b
+
+
+# ---------------------------------------------------------------------------
+# Per-shard suffix arrays: count-occurrences / find-training-data
+# ---------------------------------------------------------------------------
+
+
+def suffix_array(buf: np.ndarray) -> np.ndarray:
+    """Prefix-doubling suffix sort, O(n log^2 n), fully vectorized
+    (numpy lexsort per doubling round). Oracle semantics:
+    sorted(S[i:] for i in range(len(S))) (src/main.rs:23-24).
+
+    Replaces the reference's SA-IS kernel (src/table.rs:400-586) — per
+    shard, inside an Arrow kernel, never materialized globally.
+    """
+    n = len(buf)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = buf.astype(np.int64)
+    k = 1
+    while True:
+        key2 = np.full(n, -1, dtype=np.int64)
+        if k < n:
+            key2[:-k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        r1, r2 = rank[order], key2[order]
+        changed = np.empty(n, dtype=np.int64)
+        changed[0] = 0
+        changed[1:] = (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
+        new_rank = np.empty(n, dtype=np.int64)
+        new_rank[order] = np.cumsum(changed)
+        rank = new_rank
+        if rank[order[-1]] == n - 1:
+            return order.astype(np.int64)
+        k *= 2
+
+
+def _sa_compare(buf: np.ndarray, start: int, q: np.ndarray) -> int:
+    """Compare corpus suffix buf[start:] with query q lexicographically on
+    the first len(q) bytes: -1 suffix < q, 0 prefix-match, 1 suffix > q."""
+    seg = buf[start : start + len(q)]
+    if len(seg) < len(q):
+        qq = q[: len(seg)]
+        neq = np.nonzero(seg != qq)[0]
+        if len(neq) == 0:
+            return -1  # shorter suffix with matching prefix sorts first
+        i = neq[0]
+        return -1 if seg[i] < qq[i] else 1
+    neq = np.nonzero(seg != q)[0]
+    if len(neq) == 0:
+        return 0
+    i = neq[0]
+    return -1 if seg[i] < q[i] else 1
+
+
+def _sa_range(buf: np.ndarray, sa: np.ndarray, q: np.ndarray) -> tuple[int, int]:
+    """Double binary search -> [first, last) SA rows whose suffix starts
+    with q (count_occurances kernel, src/main.rs:286-366). Counts
+    overlapping occurrences by construction ("aaaa".count("aa") == 3,
+    main.rs:629-632)."""
+    lo, hi = 0, len(sa)
+    while lo < hi:  # first suffix >= q (prefix-match counts as >=)
+        mid = (lo + hi) // 2
+        if _sa_compare(buf, sa[mid], q) < 0:
+            lo = mid + 1
+        else:
+            hi = mid
+    first = lo
+    hi = len(sa)
+    while lo < hi:  # first suffix that is > q and not prefixed by q
+        mid = (lo + hi) // 2
+        if _sa_compare(buf, sa[mid], q) <= 0:
+            lo = mid + 1
+        else:
+            hi = mid
+    return first, lo
+
+
+QUERY_HITS_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType(), False),
+        T.StructField("cnt", T.LongType(), False),
+        T.StructField("first_pos", T.LongType(), True),
+    ]
+)
+
+
+def count_occurrences(
+    docs: DataFrame,
+    queries: list[tuple[int, bytes]],
+    cfg: ExactSubstrConfig,
+    total: int | None = None,
+) -> DataFrame:
+    """cmd_count_occurrences / -multi (main.rs:623-728): per-shard suffix
+    arrays answer each query in O(|q| log n); per-shard partial counts are
+    summed — a two-stage aggregation. Queries ride the task closure
+    (broadcast side, like the reference's in-RAM query file main.rs:643).
+
+    A match is counted by the shard owning its start position; the shard
+    buffer extends ``overlap_bytes`` past the owned range, so any query up
+    to overlap_bytes+1 bytes is counted exactly once.
+
+    Returns (query_id, count, first_pos).
+    """
+    max_q = max((len(q) for _, q in queries), default=0)
+    if max_q > cfg.overlap_bytes + 1:
+        raise ValueError(
+            f"query of {max_q} bytes exceeds overlap_bytes+1="
+            f"{cfg.overlap_bytes + 1}; raise ExactSubstrConfig.overlap_bytes"
+        )
+    if "byte_start" not in docs.columns:
+        docs = with_offsets(docs, cfg.with_separators)
+    if total is None:
+        total = corpus_total_bytes(docs)
+    qarr = [(int(qid), np.frombuffer(q, dtype=np.uint8)) for qid, q in queries]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = int(pdf["shard_id"].iloc[0])
+        lo, buf = assemble_shard_buffer(
+            pdf, cfg.shard_bytes, cfg.overlap_bytes, total, cfg.with_separators
+        )
+        own_hi = min((s + 1) * cfg.shard_bytes, total)
+        sa = suffix_array(buf)
+        rows = []
+        for qid, q in qarr:
+            if len(q) == 0:
+                continue
+            first, last = _sa_range(buf, sa, q)
+            if last <= first:
+                continue
+            starts = sa[first:last] + lo
+            owned = starts[starts < own_hi]
+            if len(owned) == 0:
+                continue
+            rows.append((qid, int(len(owned)), int(owned.min())))
+        return pd.DataFrame(rows, columns=["query_id", "cnt", "first_pos"]).astype(
+            {"query_id": "int64", "cnt": "int64", "first_pos": "int64"}
+        )
+
+    shards = assign_shards(docs, cfg.shard_bytes, cfg.overlap_bytes)
+    hits = (
+        shards.select("shard_id", "doc_id", "byte_start", "text")
+        .groupBy("shard_id")
+        .applyInPandas(kernel, QUERY_HITS_SCHEMA)
+    )
+    counts = hits.groupBy("query_id").agg(
+        F.sum("cnt").alias("count"), F.min("first_pos").alias("first_pos")
+    )
+    # left join against the full query list so absent queries report 0
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(qid, bytes(q)) for qid, q in queries], "query_id long, query binary"
+    )
+    return (
+        qdf.join(counts, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("count"), F.lit(0)).alias("count"),
+            "first_pos",
+        )
+    )
+
+
+MATCH_LEN_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType(), False),
+        T.StructField("qpos", T.LongType(), False),
+        T.StructField("match_len", T.LongType(), False),
+    ]
+)
+
+
+def _lcp(a: np.ndarray, b: np.ndarray) -> int:
+    m = min(len(a), len(b))
+    if m == 0:
+        return 0
+    neq = np.nonzero(a[:m] != b[:m])[0]
+    return int(neq[0]) if len(neq) else m
+
+
+def find_training_data(
+    docs: DataFrame,
+    queries: list[tuple[int, bytes]],
+    cfg: ExactSubstrConfig,
+    probe_cap: int = 65536,
+    step: int = 1,
+    total: int | None = None,
+) -> DataFrame:
+    """find-training-data (cmd_find_training_data_2, main.rs:730-805):
+    for every query offset (step=2 for u16-token corpora, main.rs:762-768),
+    the longest prefix of that query suffix occurring anywhere in the
+    corpus, probe-capped (main.rs:525-526 cap 65536).
+
+    Per shard: binary-search the query suffix in the shard SA, LCP against
+    both neighbors; global answer = max over shards
+    (groupBy(query_id, qpos).max — partial agg first).
+
+    Cross-shard caveat (documented approximation, same class as the
+    reference's HACKSIZE): a match longer than shard_bytes+overlap that
+    straddles an ownership boundary reports the in-buffer prefix length.
+    """
+    if "byte_start" not in docs.columns:
+        docs = with_offsets(docs, cfg.with_separators)
+    if total is None:
+        total = corpus_total_bytes(docs)
+    qarr = [(int(qid), np.frombuffer(q, dtype=np.uint8)) for qid, q in queries]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, buf = assemble_shard_buffer(
+            pdf, cfg.shard_bytes, cfg.overlap_bytes, total, cfg.with_separators
+        )
+        sa = suffix_array(buf)
+        out_q, out_p, out_l = [], [], []
+        for qid, q in qarr:
+            for i in range(0, len(q), step):
+                probe = q[i : i + probe_cap]
+                # insertion point of probe in SA order
+                loi, hii = 0, len(sa)
+                while loi < hii:
+                    mid = (loi + hii) // 2
+                    if _sa_compare(buf, sa[mid], probe) < 0:
+                        loi = mid + 1
+                    else:
+                        hii = mid
+                best = 0
+                for j in (loi - 1, loi):
+                    if 0 <= j < len(sa):
+                        best = max(best, _lcp(buf[sa[j] :], probe))
+                out_q.append(qid)
+                out_p.append(i)
+                out_l.append(best)
+        return pd.DataFrame(
+            {"query_id": out_q, "qpos": out_p, "match_len": out_l}
+        ).astype({"query_id": "int64", "qpos": "int64", "match_len": "int64"})
+
+    shards = assign_shards(docs, cfg.shard_bytes, cfg.overlap_bytes)
+    per_shard = (
+        shards.select("shard_id", "doc_id", "byte_start", "text")
+        .groupBy("shard_id")
+        .applyInPandas(kernel, MATCH_LEN_SCHEMA)
+    )
+    return per_shard.groupBy("query_id", "qpos").agg(
+        F.max("match_len").alias("match_len")
+    )

@@ -1,0 +1,163 @@
+"""Virtualized corpus layout: global byte offsets + overlap sharding.
+
+The reference materializes one flat byte file per dataset
+(scripts/load_dataset.py:75-92) whose text must fit in RAM
+(src/main.rs:31-35). Here the corpus stays a DataFrame; the flat layout is
+*derived*: every document knows its global byte range
+``[byte_start, byte_end)`` in the (virtual) concatenation
+
+    b"\\xff\\xff" + struct.pack("<I", uid) + text_utf8      per doc
+
+in ``doc_id`` order (separator layout: load_dataset.py:57-61; the 6-byte
+prefix rule reappears at finish_dedup_wiki40b.py:157-158).
+
+Sharding reproduces the reference's partitioned suffix-array design
+(make_suffix_array.py:44-57): fixed byte-width shards with a trailing
+overlap so every owned position's length-L window (and any point query up
+to overlap+1 bytes) is resident in exactly one owning shard — the HACKSIZE
+idea (make_suffix_array.py:23; main.rs:1208-1216 "As long as HACKSIZE is
+longer than the longest potential match, everything will work out").
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import SEP_BYTES
+
+# Docs per offset block. The global running sum is computed hierarchically:
+# a per-block window cumsum (parallel across blocks) + a tiny per-block
+# totals frame (N / BLOCK_DOCS rows) whose own cumsum is cheap on one
+# partition even at 10^12 docs (=> ~10^6 block rows).
+BLOCK_DOCS = 1 << 20
+
+
+def with_offsets(docs: DataFrame, with_separators: bool = True) -> DataFrame:
+    """Add (doc_len, byte_start, byte_end) global-offset columns.
+
+    Replaces the reference's `.size` cumulative-offset sidecar
+    (load_dataset.py:79-92). Scalable: no single-partition window over the
+    full table — the unbounded window runs per block, and only the
+    block-totals frame (1/2^20 of the rows) is globally ordered.
+    """
+    sep = SEP_BYTES if with_separators else 0
+    d = docs.withColumn("doc_len", (F.octet_length("text") + F.lit(sep)).cast("long"))
+    d = d.withColumn("_block", F.floor(F.col("doc_id") / BLOCK_DOCS))
+    w_in = (
+        Window.partitionBy("_block")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn("_local", F.coalesce(F.sum("doc_len").over(w_in), F.lit(0)))
+    block_totals = d.groupBy("_block").agg(F.sum("doc_len").alias("_blen"))
+    w_b = Window.orderBy("_block").rowsBetween(Window.unboundedPreceding, -1)
+    block_totals = block_totals.withColumn(
+        "_bstart", F.coalesce(F.sum("_blen").over(w_b), F.lit(0))
+    ).select("_block", "_bstart")
+    d = d.join(F.broadcast(block_totals), "_block")
+    return (
+        d.withColumn("byte_start", (F.col("_bstart") + F.col("_local")).cast("long"))
+        .withColumn("byte_end", F.col("byte_start") + F.col("doc_len"))
+        .drop("_block", "_local", "_bstart")
+    )
+
+
+def corpus_total_bytes(docs_with_offsets: DataFrame) -> int:
+    row = docs_with_offsets.agg(F.max("byte_end").alias("t")).collect()[0]
+    return int(row["t"] or 0)
+
+
+def assign_shards(
+    docs_with_offsets: DataFrame, shard_bytes: int, overlap_bytes: int
+) -> DataFrame:
+    """Explode docs to every shard whose byte window needs them.
+
+    Shard s owns positions [s*S, (s+1)*S) and additionally *reads* the next
+    ``overlap_bytes`` (never emits for them) — so a doc with bytes
+    [bs, be) must be shipped to shards floor((bs-O)/S) .. floor((be-1)/S).
+    Replication overhead ~ overlap/shard_bytes (~0.002% at 64 MiB/1 KiB).
+    """
+    S, O = shard_bytes, overlap_bytes
+    return docs_with_offsets.withColumn(
+        "shard_id",
+        F.explode(
+            F.sequence(
+                F.greatest(
+                    F.lit(0), F.floor((F.col("byte_start") - O) / S)
+                ).cast("long"),
+                F.floor((F.col("byte_end") - 1) / S).cast("long"),
+            )
+        ),
+    )
+
+
+def doc_payload(uid: int, text: str, with_separators: bool) -> bytes:
+    if not with_separators:
+        return text.encode("utf-8")
+    return b"\xff\xff" + struct.pack("<I", uid & 0xFFFFFFFF) + text.encode("utf-8")
+
+
+def assemble_shard_buffer(
+    pdf: pd.DataFrame,
+    shard_bytes: int,
+    overlap_bytes: int,
+    total: int,
+    with_separators: bool,
+) -> tuple[int, np.ndarray]:
+    """Build one shard's contiguous byte buffer [lo, hi) from its doc rows.
+
+    Returns (lo, uint8 buffer). hi = min((s+1)*S + O, total). The kernel
+    checks full coverage (per-partition invariant counter — the analogue of
+    the reference's output-size verification, make_suffix_array.py:59-86).
+    """
+    s = int(pdf["shard_id"].iloc[0])
+    lo = s * shard_bytes
+    hi = min((s + 1) * shard_bytes + overlap_bytes, total)
+    buf = np.zeros(hi - lo, dtype=np.uint8)
+    covered = 0
+    for doc_id, byte_start, text in zip(
+        pdf["doc_id"].to_numpy(), pdf["byte_start"].to_numpy(), pdf["text"]
+    ):
+        payload = doc_payload(int(doc_id), text, with_separators)
+        ds, de = int(byte_start), int(byte_start) + len(payload)
+        a, b = max(ds, lo), min(de, hi)
+        if b <= a:
+            continue
+        buf[a - lo : b - lo] = np.frombuffer(payload, dtype=np.uint8)[a - ds : b - ds]
+        covered += b - a
+    if covered != hi - lo:
+        raise RuntimeError(
+            f"shard {s}: buffer coverage {covered} != {hi - lo} "
+            "(missing docs — offsets/sharding invariant violated)"
+        )
+    return lo, buf
+
+
+def iter_shard_groups(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Regroup mapInPandas batches by shard_id (rows for one shard are
+    contiguous after a repartition+sort by shard_id). Prefer
+    groupBy().applyInPandas in operators; this helper exists for kernels
+    that want streaming control."""
+    pending: pd.DataFrame | None = None
+    for pdf in batches:
+        if pending is not None:
+            pdf = pd.concat([pending, pdf], ignore_index=True)
+            pending = None
+        if len(pdf) == 0:
+            continue
+        last = pdf["shard_id"].iloc[-1]
+        full = pdf[pdf["shard_id"] != last]
+        pending = pdf[pdf["shard_id"] == last]
+        for _, g in full.groupby("shard_id", sort=True):
+            yield g
+    if pending is not None and len(pending):
+        for _, g in pending.groupby("shard_id", sort=True):
+            yield g

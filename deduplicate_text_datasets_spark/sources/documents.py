@@ -1,0 +1,192 @@
+"""Documents source: readers, canonicalization, and the deterministic
+FIXTURES.md synthesizer.
+
+Canonical schema (BASELINE.json input_hint):
+    documents(url string, warc_ts timestamp, html binary, text string,
+              lang string)
+plus an engine-added ``doc_id`` (long, dense, deterministic by url order)
+that all downstream operators key on.
+
+Two physical inputs are supported:
+  * the canonical Iceberg/parquet web-page table above;
+  * the driver test tables ``/root/testdata/sf*/documents.parquet``
+    (doc_id, text, lang, source, n_chars), which are lifted into the
+    canonical shape.
+
+Reference parity: the reference ingests TFDS/HF datasets into a flat byte
+corpus (scripts/load_dataset.py:49-92); here the *table* is the corpus and
+the byte layout is derived lazily (see sources/corpus.py).
+"""
+
+from __future__ import annotations
+
+import random
+import string
+from collections.abc import Iterator
+from datetime import datetime, timedelta, timezone
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FIXTURE_SEED = 42
+VOCAB_SIZE = 4096
+EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+    ]
+)
+
+
+def read_documents(spark: SparkSession, path: str) -> DataFrame:
+    """Read a documents table (canonical or driver-test shape) into the
+    canonical frame ordered/keyed by ``doc_id``.
+
+    Column pruning + predicate pushdown reach the parquet scan because this
+    is a plain declarative projection (no UDFs).
+    """
+    df = spark.read.parquet(path)
+    cols = set(df.columns)
+    if {"url", "text"} <= cols:
+        if "doc_id" not in cols:
+            df = df.withColumn(
+                "doc_id", F.row_number().over(Window.orderBy("url")).cast("long") - 1
+            )
+        return df.select("doc_id", "url", "warc_ts", "html", "text", "lang")
+    # driver-test shape (doc_id, text, lang, source, n_chars)
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/page"), F.col("doc_id")
+        ).alias("url"),
+        (F.lit(EPOCH) + F.make_interval(secs=F.col("doc_id") * 137)).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")),
+            "UTF-8",
+        ).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FIXTURES.md §1 synthesizer — deterministic planted-duplicate corpus.
+# ---------------------------------------------------------------------------
+
+_BOILERPLATE = (
+    "home about contact privacy terms sitemap navigation footer copyright "
+    "all rights reserved follow us on social media subscribe to the newsletter "
+    "for weekly updates cookie settings accessibility statement careers press "
+    "room investor relations help center community guidelines report a problem"
+)  # ~300 bytes of fixed template text (role 5: hot LSH buckets / hot suffixes)
+
+_STRADDLE_SENTENCE_WORDS = 18  # shared global run for boundary-straddling pairs
+
+
+def _vocab() -> list[str]:
+    rng = random.Random(FIXTURE_SEED)
+    words = set()
+    while len(words) < VOCAB_SIZE:
+        n = rng.randint(3, 9)
+        words.add("".join(rng.choice(string.ascii_lowercase) for _ in range(n)))
+    return sorted(words)
+
+
+_VOCAB = _vocab()
+
+
+def _base_words(k: int, lo: int = 50, hi: int = 2000) -> list[str]:
+    rng = random.Random(f"{FIXTURE_SEED}-doc-{k}")
+    n = rng.randint(lo, hi)
+    return [_VOCAB[rng.randrange(VOCAB_SIZE)] for _ in range(n)]
+
+
+def _shared_run(tag: str, j: int, n_words: int) -> list[str]:
+    rng = random.Random(f"{FIXTURE_SEED}-run-{tag}-{j}")
+    return [_VOCAB[rng.randrange(VOCAB_SIZE)] for _ in range(n_words)]
+
+
+def fixture_text(k: int, size_lo: int = 50, size_hi: int = 2000) -> str:
+    """Deterministic text for doc index k with FIXTURES.md planted roles.
+
+    Pure function of k => embarrassingly parallel generation.
+    Roles by m = k % 20:
+      1,11  exact duplicate of doc k-1
+      3,13  near duplicate of doc k-1 (2-5 seeded word edits)
+      5/15  pair sharing one >=100-byte run (ExactSubstr, not near-dup)
+      7/17  pair sharing a ~3x-threshold run (coalescing test)
+      9,19  boilerplate footer appended (skew / hot buckets)
+      else  singleton
+    Additionally k % 97 == 3 docs embed one global run (cross-shard pairs).
+    """
+    m = k % 20
+    if m in (1, 11) and k > 0:
+        return fixture_text(k - 1, size_lo, size_hi)
+    if m in (3, 13) and k > 0:
+        words = fixture_text(k - 1, size_lo, size_hi).split(" ")
+        rng = random.Random(f"{FIXTURE_SEED}-edit-{k}")
+        for _ in range(rng.randint(2, 5)):
+            words[rng.randrange(len(words))] = _VOCAB[rng.randrange(VOCAB_SIZE)]
+        return " ".join(words)
+
+    words = _base_words(k, size_lo, size_hi)
+    rng = random.Random(f"{FIXTURE_SEED}-place-{k}")
+    if m in (5, 15):
+        run = _shared_run("sub", k // 20, 20)  # >=100 bytes of shared words
+        pos = rng.randrange(max(1, len(words) - 1))
+        words = words[:pos] + run + words[pos:]
+    elif m in (7, 17):
+        run = _shared_run("coalesce", k // 20, 55)  # ~3x the 100-byte threshold
+        pos = rng.randrange(max(1, len(words) - 1))
+        words = words[:pos] + run + words[pos:]
+    elif m in (9, 19):
+        words = words + _BOILERPLATE.split(" ")
+    if k % 97 == 3:
+        run = _shared_run("straddle", 0, _STRADDLE_SENTENCE_WORDS)
+        pos = rng.randrange(max(1, len(words) - 1))
+        words = words[:pos] + run + words[pos:]
+    return " ".join(words)
+
+
+def fixture_row(k: int, size_lo: int = 50, size_hi: int = 2000) -> dict:
+    text = fixture_text(k, size_lo, size_hi)
+    lang = "en" if k % 20 < 19 else ["de", "fr", "es"][(k // 20) % 3]
+    return {
+        "doc_id": k,
+        "url": f"https://site{k // 10}.example/page{k}",
+        "warc_ts": EPOCH + timedelta(seconds=137 * k),
+        "html": b"<html><body>" + text.encode("utf-8") + b"</body></html>",
+        "text": text,
+        "lang": lang,
+    }
+
+
+def synth_documents_pandas(n: int, size_lo: int = 50, size_hi: int = 2000) -> pd.DataFrame:
+    """Driver-side fixture generation (pytest scale)."""
+    return pd.DataFrame([fixture_row(k, size_lo, size_hi) for k in range(n)])
+
+
+def synth_documents(
+    spark: SparkSession, n: int, size_lo: int = 50, size_hi: int = 2000
+) -> DataFrame:
+    """Distributed fixture generation: pure function of doc index, so it is
+    generated where it will be consumed (no driver collect, no shuffle)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [fixture_row(int(k), size_lo, size_hi) for k in pdf["id"]]
+            )
+
+    return (
+        spark.range(0, n, 1, numPartitions=max(1, n // 2000))
+        .mapInPandas(gen, DOCUMENTS_SCHEMA)
+    )
