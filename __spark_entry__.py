@@ -1,38 +1,505 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship NearDup clustering pipeline at sf0.001.
+``queries()`` exposes one entry per implemented operator (SURVEY.md §2);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every SQL-expressible
+one (value-hash gate at sf=0.01). Non-SQL-expressible kernels (MinHash
+signatures, SimHash, LSH) are rows-only here and oracle-tested in pytest
+against brute-force Python (tests/).
+
+Column-name/type parity: every computed column is aliased identically on
+both sides and floats are avoided (or floor-scaled to integers) so the
+driver's order-insensitive value hash matches bit-for-bit.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from deduplicate_text_datasets_spark.config import (  # noqa: E402
+    EngineConfig,
+    ExactSubstrConfig,
+    MinHashConfig,
+    SimHashConfig,
+)
+
+# Small shards at test scale so the gate exercises multi-shard ownership;
+# at production scale shard_bytes is 64 MiB (config.py).
+EXACT_CFG = ExactSubstrConfig(
+    length_threshold=100, shard_bytes=32768, overlap_bytes=1024
+)
+# Separator-free variant for the SQL-gated self-similar queries: the DuckDB
+# oracle rebuilds the flat corpus with string_agg, which cannot express the
+# reference's \xff\xff+uid separator bytes (windows spanning separators with
+# coinciding uid low-bytes are real duplicates in separator mode — covered
+# by pytest against oracle/pyref.py instead).
+SS_CFG = ExactSubstrConfig(
+    length_threshold=100, shard_bytes=32768, overlap_bytes=1024,
+    with_separators=False,
+)
+MH_CFG = MinHashConfig()
+SH_CFG = SimHashConfig()
+
+# deterministic point queries: (query_id, doc_id, substr start, substr len)
+_COUNT_QUERIES = [(0, 0, 11, 20), (1, 1, 5, 24), (2, 2, 1, 30)]
+_ABSENT_QUERY = (3, "zzqqzzqq not present zzqqzzqq")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deduplicate_text_datasets_spark.sources.documents import read_documents
+
+    return read_documents(spark, f"{sf_dir}/documents.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: NearDup clustering (MinHash+LSH ∪ exact-dup -> connected
+    components) over sf0.001 documents."""
+    from deduplicate_text_datasets_spark.plans.pipeline import neardup_clusters
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    return neardup_clusters(docs, EngineConfig())
+
+
+# ---------------------------------------------------------------------------
+# queries()
+# ---------------------------------------------------------------------------
+
+
+def _q_global_offsets(spark, sf_dir):
+    from deduplicate_text_datasets_spark.sources.corpus import with_offsets
+
+    return with_offsets(_docs(spark, sf_dir), with_separators=True).select(
+        "doc_id", "byte_start", "byte_end"
+    )
+
+
+def _q_exact_dup_groups(spark, sf_dir):
+    from deduplicate_text_datasets_spark.operators.exact import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def _q_cc_clusters(spark, sf_dir):
+    from deduplicate_text_datasets_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    edges = nation.select(
+        F.col("n_nationkey").cast("long").alias("src"),
+        ((F.col("n_nationkey") * 7) % 25).cast("long").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    # restrict to nodes that appear in edges (oracle reach covers only those)
+    enodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return connected_components(edges, nodes=enodes).orderBy("node")
+
+
+def _q_count_occurrences(spark, sf_dir):
+    from deduplicate_text_datasets_spark.operators.suffix import count_occurrences
+
+    docs = _docs(spark, sf_dir)
+    rows = (
+        docs.filter(F.col("doc_id").isin([d for _, d, _, _ in _COUNT_QUERIES]))
+        .select("doc_id", "text")
+        .collect()
+    )
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    queries = [
+        (qid, texts[d][start - 1 : start - 1 + ln].encode())
+        for qid, d, start, ln in _COUNT_QUERIES
+    ] + [(_ABSENT_QUERY[0], _ABSENT_QUERY[1].encode())]
+    out = count_occurrences(docs, queries, EXACT_CFG)
+    return out.select("query_id", F.col("count").alias("n_matches"))
+
+
+def _q_self_similar_ranges(spark, sf_dir):
+    from deduplicate_text_datasets_spark.operators.intervals import (
+        coalesce_positions,
+    )
+    from deduplicate_text_datasets_spark.operators.suffix import self_similar
+
+    dups = self_similar(_docs(spark, sf_dir), SS_CFG)
+    return coalesce_positions(dups, SS_CFG.length_threshold).select(
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("range_end"),
+    )
+
+
+def _q_self_similar_positions(spark, sf_dir):
+    from deduplicate_text_datasets_spark.operators.suffix import self_similar
+
+    return self_similar(_docs(spark, sf_dir), SS_CFG).select(
+        "pos", "cluster_id", "cluster_size"
+    )
+
+
+def _q_interval_coalesce(spark, sf_dir):
+    from deduplicate_text_datasets_spark.operators.intervals import (
+        coalesce_positions,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pos = orders.select(((F.col("o_orderkey") * 37) % 100000).alias("pos"))
+    return coalesce_positions(pos, 50).select(
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("range_end"),
+    )
+
+
+def _q_interval_join_docs(spark, sf_dir):
+    from deduplicate_text_datasets_spark.operators.intervals import interval_join
+    from deduplicate_text_datasets_spark.sources.corpus import (
+        corpus_total_bytes,
+        with_offsets,
+    )
+
+    d = with_offsets(_docs(spark, sf_dir), True)
+    total = corpus_total_bytes(d)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ranges = (
+        orders.filter(F.col("o_orderkey") % 97 == 0)
+        .select(((F.col("o_orderkey") * 5323) % (total - 37)).alias("start"))
+        .withColumn("end", F.col("start") + 37)
+    )
+    return interval_join(ranges, d, chunk_bytes=4096).select(
+        "doc_id",
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("range_end"),
+    )
+
+
+def _q_ngram_jaccard_pairs(spark, sf_dir):
+    from deduplicate_text_datasets_spark.operators.ngram import jaccard_pairs
+
+    return jaccard_pairs(
+        _docs(spark, sf_dir), MH_CFG, threshold_num=1, threshold_den=20
+    ).select("a", "b", "inter", "size_a", "size_b")
+
+
+def _q_doc_stats(spark, sf_dir):
+    from deduplicate_text_datasets_spark.functions.text import tokens
+    from deduplicate_text_datasets_spark.operators.textstats import substr_count
+
+    docs = _docs(spark, sf_dir)
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        substr_count(F.col("text"), " ").alias("space_count"),
+        (substr_count(padded, " the ") + substr_count(padded, " and ")).alias(
+            "en_stopwords"
+        ),
+    )
+
+
+def _q_quality_scores(spark, sf_dir):
+    from deduplicate_text_datasets_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    n_tokens = F.size(tokens("text")).cast("long")
+    n_bytes = F.octet_length("text").cast("long")
+    len_ok = F.when(n_tokens >= 20, F.lit(1.0)).otherwise(n_tokens / F.lit(20.0))
+    avg_len = n_bytes / F.greatest(n_tokens, F.lit(1))
+    shape_ok = F.when((avg_len >= 3) & (avg_len <= 12), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    return docs.select(
+        "doc_id", F.floor(len_ok * shape_ok * 1000000).cast("long").alias("quality_ppm")
+    )
+
+
+def _q_lang_id(spark, sf_dir):
+    from deduplicate_text_datasets_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_ann_topk(spark, sf_dir):
+    from deduplicate_text_datasets_spark.operators.ann import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=10).select("query_id", "rank", "neighbor_id")
+
+
+# --- rows-only (non-SQL-expressible kernels; pytest-oracled) ---------------
+
+
+def _q_neardup_clusters(spark, sf_dir):
+    from deduplicate_text_datasets_spark.plans.pipeline import neardup_clusters
+
+    return neardup_clusters(_docs(spark, sf_dir), EngineConfig(minhash=MH_CFG))
+
+
+def _q_minhash_signatures(spark, sf_dir):
+    from deduplicate_text_datasets_spark.operators.minhash import (
+        doc_shingles,
+        minhash_signatures,
+    )
+
+    return minhash_signatures(doc_shingles(_docs(spark, sf_dir), MH_CFG), MH_CFG)
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from deduplicate_text_datasets_spark.operators.simhash import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), SH_CFG)
+
+
+def _q_deduped_docs(spark, sf_dir):
+    from deduplicate_text_datasets_spark.plans.pipeline import exactsubstr_dedup
+
+    cfg = EngineConfig(exact=EXACT_CFG)
+    _, deduped = exactsubstr_dedup(_docs(spark, sf_dir), cfg)
+    return deduped.select("doc_id", "url", F.sha2("deduped", 256).alias("sha"))
+
+
+def _q_find_training_data(spark, sf_dir):
+    from deduplicate_text_datasets_spark.operators.suffix import find_training_data
+
+    docs = _docs(spark, sf_dir)
+    t = docs.filter(F.col("doc_id") == 0).collect()[0]["text"]
+    q = [(0, (t[:48] + "QQXXQQXX").encode())]
+    return find_training_data(docs, q, EXACT_CFG, probe_cap=256)
+
+
+def _q_embedding_cosine_pairs(spark, sf_dir):
+    from deduplicate_text_datasets_spark.operators.ann import cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_pairs(emb, dim=64, threshold=0.5, nbits=6)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "global_offsets": _q_global_offsets,
+        "exact_dup_groups": _q_exact_dup_groups,
+        "cc_clusters": _q_cc_clusters,
+        "count_occurrences": _q_count_occurrences,
+        "self_similar_ranges": _q_self_similar_ranges,
+        "self_similar_positions": _q_self_similar_positions,
+        "interval_coalesce": _q_interval_coalesce,
+        "interval_join_docs": _q_interval_join_docs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "doc_stats": _q_doc_stats,
+        "quality_scores": _q_quality_scores,
+        "lang_id": _q_lang_id,
+        "ann_topk": _q_ann_topk,
+        "neardup_clusters": _q_neardup_clusters,
+        "minhash_signatures": _q_minhash_signatures,
+        "simhash_pairs": _q_simhash_pairs,
+        "deduped_docs": _q_deduped_docs,
+        "find_training_data": _q_find_training_data,
+        "embedding_cosine_pairs": _q_embedding_cosine_pairs,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle_sql() — DuckDB equivalents (tables pre-registered as views)
+# ---------------------------------------------------------------------------
+
+_TOKS = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    count_parts = []
+    for qid, d, start, ln in _COUNT_QUERIES:
+        count_parts.append(
+            f"""
+  SELECT {qid} AS query_id, CAST(COALESCE(SUM(
+      (strlen(text) - strlen(replace(text, q.q, ''))) / strlen(q.q)), 0) AS BIGINT) AS n_matches
+  FROM documents CROSS JOIN
+       (SELECT substr(text, {start}, {ln}) AS q FROM documents WHERE doc_id = {d}) q"""
+        )
+    count_parts.append(
+        f"""
+  SELECT {_ABSENT_QUERY[0]} AS query_id, CAST(COALESCE(SUM(
+      (strlen(text) - strlen(replace(text, '{_ABSENT_QUERY[1]}', ''))) / strlen('{_ABSENT_QUERY[1]}')), 0) AS BIGINT) AS n_matches
+  FROM documents"""
+    )
+    count_sql = " UNION ALL ".join(count_parts)
+
+    # flat corpus (no separators) exactly as the Spark SS_CFG sees it
+    self_similar_core = """
+WITH corpus AS (
+  SELECT string_agg(text, '' ORDER BY doc_id) AS c FROM documents
+), wins AS (
+  SELECT i - 1 AS pos, substr(c, i, 100) AS w
+  FROM corpus, UNNEST(range(1, strlen(c) - 100 + 2)) AS t(i)
+), sized AS (
+  SELECT pos, COUNT(*) OVER (PARTITION BY w) AS c,
+         MIN(pos) OVER (PARTITION BY w) AS m
+  FROM wins
+), dups AS (
+  SELECT pos, c, m FROM sized WHERE c >= 2
+)"""
+
+    return {
+        "global_offsets": """
+SELECT doc_id,
+  CAST(COALESCE(SUM(strlen(text)+6) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS byte_start,
+  CAST(COALESCE(SUM(strlen(text)+6) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + strlen(text) + 6 AS BIGINT) AS byte_end
+FROM documents""",
+        "exact_dup_groups": """
+SELECT doc_id,
+  MIN(doc_id) OVER (PARTITION BY text) AS group_id,
+  COUNT(*) OVER (PARTITION BY text) AS group_size,
+  doc_id = MIN(doc_id) OVER (PARTITION BY text) AS keep
+FROM documents""",
+        "cc_clusters": """
+WITH RECURSIVE edges AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS a, CAST((n_nationkey * 7) % 25 AS BIGINT) AS b
+  FROM nation WHERE n_nationkey <> (n_nationkey * 7) % 25
+), sym AS (
+  SELECT a, b FROM edges UNION SELECT b, a FROM edges
+), reach(n, m) AS (
+  SELECT a, b FROM sym UNION SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+)
+SELECT n AS node, LEAST(n, MIN(m)) AS component FROM reach GROUP BY n ORDER BY node""",
+        "count_occurrences": count_sql,
+        "self_similar_ranges": self_similar_core
+        + """,
+flagged AS (
+  SELECT pos, CASE WHEN LAG(pos) OVER (ORDER BY pos) IS NULL
+                     OR pos > LAG(pos) OVER (ORDER BY pos) + 100
+              THEN 1 ELSE 0 END AS f
+  FROM dups
+), grp AS (
+  SELECT pos, SUM(f) OVER (ORDER BY pos) AS g FROM flagged
+)
+SELECT CAST(MIN(pos) AS BIGINT) AS start, CAST(MAX(pos) + 100 AS BIGINT) AS range_end
+FROM grp GROUP BY g""",
+        "self_similar_positions": self_similar_core
+        + """
+SELECT CAST(pos AS BIGINT) AS pos, CAST(m AS BIGINT) AS cluster_id,
+       CAST(c AS BIGINT) AS cluster_size
+FROM dups""",
+        "interval_coalesce": """
+WITH pos AS (
+  SELECT (o_orderkey * 37) % 100000 AS pos FROM orders
+), flagged AS (
+  SELECT pos, CASE WHEN LAG(pos) OVER (ORDER BY pos) IS NULL
+                     OR pos > LAG(pos) OVER (ORDER BY pos) + 50
+              THEN 1 ELSE 0 END AS f
+  FROM pos
+), grp AS (
+  SELECT pos, SUM(f) OVER (ORDER BY pos) AS g FROM flagged
+)
+SELECT CAST(MIN(pos) AS BIGINT) AS start, CAST(MAX(pos) + 50 AS BIGINT) AS range_end
+FROM grp GROUP BY g""",
+        "interval_join_docs": """
+WITH offs AS (
+  SELECT doc_id,
+    CAST(COALESCE(SUM(strlen(text)+6) OVER (ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS byte_start,
+    CAST(strlen(text) + 6 AS BIGINT) AS doc_len
+  FROM documents
+), total AS (
+  SELECT SUM(doc_len) AS t FROM offs
+), ranges AS (
+  SELECT CAST((o_orderkey * 5323) % (t - 37) AS BIGINT) AS start,
+         CAST((o_orderkey * 5323) % (t - 37) + 37 AS BIGINT) AS range_end
+  FROM orders, total WHERE o_orderkey % 97 = 0
+)
+SELECT DISTINCT o.doc_id, r.start, r.range_end
+FROM offs o JOIN ranges r
+  ON r.start < o.byte_start + o.doc_len AND r.range_end > o.byte_start""",
+        "ngram_jaccard_pairs": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 5
+      THEN [array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w) - 3)]
+      ELSE [array_to_string(w, ' ')] END) AS s
+  FROM toks
+), inv AS (
+  SELECT doc_id, UNNEST(s) AS g FROM sh
+), pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS INT) AS inter
+  FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, inter, CAST(sa.ns AS INT) AS size_a, CAST(sb.ns AS INT) AS size_b
+FROM pairs
+JOIN (SELECT doc_id, len(s) AS ns FROM sh) sa ON sa.doc_id = a
+JOIN (SELECT doc_id, len(s) AS ns FROM sh) sb ON sb.doc_id = b
+WHERE 20 * inter >= 1 * (sa.ns + sb.ns - inter)""",
+        "doc_stats": f"""
+SELECT doc_id,
+  CAST(strlen(text) AS BIGINT) AS n_bytes,
+  CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+  CAST((strlen(text) - strlen(replace(text, ' ', ''))) / 1 AS BIGINT) AS space_count,
+  CAST((strlen(' ' || lower(text) || ' ') - strlen(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5
+     + (strlen(' ' || lower(text) || ' ') - strlen(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5
+   AS BIGINT) AS en_stopwords
+FROM documents""",
+        "quality_scores": f"""
+SELECT doc_id, CAST(FLOOR(
+  (CASE WHEN len({_TOKS}) >= 20 THEN 1.0 ELSE len({_TOKS}) / 20.0 END)
+  * (CASE WHEN strlen(text) * 1.0 / GREATEST(len({_TOKS}), 1) BETWEEN 3 AND 12
+      THEN 1.0 ELSE 0.5 END) * 1000000) AS BIGINT) AS quality_ppm
+FROM documents""",
+        "lang_id": """
+WITH s AS (
+  SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
+), scores AS (
+  SELECT doc_id,
+    CAST((strlen(p)-strlen(replace(p,' the ','')))/5 + (strlen(p)-strlen(replace(p,' and ','')))/5
+       + (strlen(p)-strlen(replace(p,' of ','')))/4 + (strlen(p)-strlen(replace(p,' to ','')))/4
+       + (strlen(p)-strlen(replace(p,' in ','')))/4 AS BIGINT) AS s_en,
+    CAST((strlen(p)-strlen(replace(p,' der ','')))/5 + (strlen(p)-strlen(replace(p,' und ','')))/5
+       + (strlen(p)-strlen(replace(p,' die ','')))/5 + (strlen(p)-strlen(replace(p,' das ','')))/5
+       + (strlen(p)-strlen(replace(p,' nicht ','')))/7 AS BIGINT) AS s_de,
+    CAST((strlen(p)-strlen(replace(p,' le ','')))/4 + (strlen(p)-strlen(replace(p,' la ','')))/4
+       + (strlen(p)-strlen(replace(p,' et ','')))/4 + (strlen(p)-strlen(replace(p,' les ','')))/5
+       + (strlen(p)-strlen(replace(p,' des ','')))/5 AS BIGINT) AS s_fr,
+    CAST((strlen(p)-strlen(replace(p,' el ','')))/4 + (strlen(p)-strlen(replace(p,' la ','')))/4
+       + (strlen(p)-strlen(replace(p,' los ','')))/5 + (strlen(p)-strlen(replace(p,' que ','')))/5
+       + (strlen(p)-strlen(replace(p,' de ','')))/4 AS BIGINT) AS s_es
+  FROM s
+)
+SELECT doc_id,
+  CASE WHEN s_en > 0 AND s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+       WHEN s_de > 0 AND s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+       WHEN s_fr > 0 AND s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+       WHEN s_es > 0 AND s_es = GREATEST(s_en, s_de, s_fr, s_es) THEN 'es'
+       ELSE 'und' END AS lang_pred,
+  GREATEST(s_en, s_de, s_fr, s_es) AS lang_hits
+FROM scores""",
+        "ann_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+), scored AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         list_dot_product(qv, ev) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(ev, ev))) AS cosine
+  FROM q CROSS JOIN v WHERE query_id <> vec_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10""",
+    }

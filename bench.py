@@ -1,0 +1,209 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "scaling": {...}}
+
+Headline queries run at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]. The scaling section evidences the north-rule
+two-cluster-size criterion in its sandbox form: the same NearDup +
+ExactSubstr jobs on the same synthesized fixture corpus at local[8] vs
+local[32], reporting docs/sec at both and efficiency = speedup / (32/8).
+
+Set SPARK_GRAFT_SKIP_SCALING=1 to skip the scaling section.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from deduplicate_text_datasets_spark.config import (  # noqa: E402
+    EngineConfig,
+    ExactSubstrConfig,
+    MinHashConfig,
+    SimHashConfig,
+)
+from deduplicate_text_datasets_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_EXACT = ExactSubstrConfig(
+    length_threshold=100, shard_bytes=1 << 20, overlap_bytes=1024
+)
+
+
+def _docs(spark, sf_dir):
+    from deduplicate_text_datasets_spark.sources.documents import read_documents
+
+    return read_documents(spark, f"{sf_dir}/documents.parquet")
+
+
+def _scaling_docs(spark, n_docs: int):
+    """Deterministic FIXTURES.md corpus (realistic planted-duplicate rates:
+    ~10% exact dups, ~10% near dups, boilerplate skew) — generated in place
+    on the executors, no driver collect."""
+    from deduplicate_text_datasets_spark.sources.documents import synth_documents
+
+    return synth_documents(spark, n_docs, size_lo=50, size_hi=300).select(
+        "doc_id", "url", "text"
+    )
+
+
+def q_neardup(spark, sf_dir):
+    from deduplicate_text_datasets_spark.plans.pipeline import neardup_clusters
+
+    return neardup_clusters(_docs(spark, sf_dir), EngineConfig()).count()
+
+
+def q_exactsubstr(spark, sf_dir):
+    from deduplicate_text_datasets_spark.plans.pipeline import exactsubstr_dedup
+
+    ranges, deduped = exactsubstr_dedup(
+        _docs(spark, sf_dir), EngineConfig(exact=BENCH_EXACT)
+    )
+    return deduped.count()
+
+
+def q_count_occurrences(spark, sf_dir):
+    from deduplicate_text_datasets_spark.operators.suffix import count_occurrences
+
+    docs = _docs(spark, sf_dir)
+    rows = docs.filter(F.col("doc_id") < 20).select("doc_id", "text").collect()
+    queries = [(int(r["doc_id"]), r["text"][:60].encode()) for r in rows]
+    return count_occurrences(docs, queries, BENCH_EXACT).count()
+
+
+def q_simhash(spark, sf_dir):
+    from deduplicate_text_datasets_spark.operators.simhash import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), SimHashConfig()).count()
+
+
+def q_ann_topk(spark, sf_dir):
+    from deduplicate_text_datasets_spark.operators.ann import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=10).count()
+
+
+def q_textstats(spark, sf_dir):
+    from deduplicate_text_datasets_spark.operators.textstats import (
+        doc_stats,
+        lang_id,
+    )
+
+    docs = _docs(spark, sf_dir)
+    a = doc_stats(docs).agg(F.sum("n_tokens")).collect()
+    b = lang_id(docs).groupBy("lang_pred").count().collect()
+    return len(b)
+
+
+HEADLINE = {
+    "neardup_clusters": q_neardup,
+    "exactsubstr_dedup": q_exactsubstr,
+    "count_occurrences": q_count_occurrences,
+    "simhash_pairs": q_simhash,
+    "ann_topk": q_ann_topk,
+    "textstats": q_textstats,
+}
+
+
+def _scaling_job(spark, docs, exact_cfg):
+    """The representative scaling workload: MinHash near-dup edges +
+    window-fingerprint duplicate positions over the fixture corpus."""
+    from deduplicate_text_datasets_spark.operators.minhash import (
+        candidate_pairs,
+        doc_shingles,
+        lsh_buckets,
+        minhash_signatures,
+    )
+    from deduplicate_text_datasets_spark.operators.suffix import self_similar
+
+    cfg = MinHashConfig()
+    sh = doc_shingles(docs, cfg)
+    pairs = candidate_pairs(lsh_buckets(minhash_signatures(sh, cfg), cfg), cfg)
+    n_pairs = pairs.count()
+    n_dups = self_similar(docs, exact_cfg).count()
+    return n_pairs, n_dups
+
+
+def run_scaling(sf_dir: str, n_docs: int | None = None) -> dict:
+    """Same job, same input, same plan constants at local[8] and local[32]
+    (shard width fixed from the 32-core layout so the physical work is
+    identical); a small warmup job first spawns Python workers and JIT-warms
+    both legs equally."""
+    import dataclasses
+
+    from deduplicate_text_datasets_spark.sources.corpus import auto_shard_bytes
+
+    n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "12000"))
+    out = {}
+    shard_bytes = None
+    for cores in (8, 32):
+        spark = get_spark(
+            f"bench-scaling-{cores}", master=f"local[{cores}]",
+            shuffle_partitions=cores,
+        )
+        docs = _scaling_docs(spark, n_docs)
+        docs = docs.repartition(64).cache()
+        n = docs.count()  # materialize cache (generation excluded from timing)
+        if shard_bytes is None:
+            total = docs.agg(
+                F.sum(F.octet_length("text") + 6).alias("t")
+            ).collect()[0]["t"]
+            shard_bytes = auto_shard_bytes(int(total), parallelism=32)
+        cfg = dataclasses.replace(BENCH_EXACT, shard_bytes=shard_bytes)
+        warm = _scaling_docs(spark, 400).repartition(64).cache()
+        warm.count()
+        _scaling_job(spark, warm, cfg)  # warmup: worker spawn + JIT
+        t0 = time.time()
+        _scaling_job(spark, docs, cfg)
+        wall = time.time() - t0
+        out[f"local{cores}"] = {
+            "docs": n,
+            "wall_sec": round(wall, 3),
+            "docs_per_sec": round(n / wall, 1),
+        }
+        print(f"[bench] scaling local[{cores}]: {out[f'local{cores}']}", file=sys.stderr)
+        spark.stop()
+    speedup = out["local8"]["wall_sec"] / out["local32"]["wall_sec"]
+    out["speedup_8_to_32"] = round(speedup, 3)
+    out["efficiency"] = round(speedup / 4.0, 3)
+    out["shard_bytes"] = shard_bytes
+    return out
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    _docs(spark, SF_DIR).cache().count()  # shared scan+repartition, warm workers
+    queries = {}
+    for name, fn in HEADLINE.items():
+        t0 = time.time()
+        fn(spark, SF_DIR)
+        queries[name] = round(time.time() - t0, 3)
+        print(f"[bench] {name}: {queries[name]}s", file=sys.stderr)
+    spark.stop()
+    result = {
+        "metric": "dedup_suite_wall",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf),
+    }
+    if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
+        result["scaling"] = run_scaling(SF_DIR)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -66,15 +66,17 @@ class ExactSubstrConfig:
 class MinHashConfig:
     """NearDup MinHash+LSH parameters (Lee et al. 2021 §NearDup).
 
-    Defaults: 5-word shingles, 128 permutations banded 16x8 — the
-    (1/b)^(1/r) collision threshold is ~0.71, tuned for the paper's
-    Jaccard-0.8 near-duplicate definition.
+    Defaults: 5-word shingles, 128 permutations banded 32x4. Collision
+    probability for a true Jaccard-0.8 pair is 1-(1-0.8^4)^32 ≈ 1-5e-8,
+    comfortably above the recall >= 0.99 target (BASELINE.json); the lower
+    (1/32)^(1/4) ≈ 0.42 threshold admits extra candidates that the exact
+    Jaccard verify removes (cost, not correctness).
     """
 
     shingle_words: int = 5
     num_perm: int = 128
-    bands: int = 16
-    rows_per_band: int = 8
+    bands: int = 32
+    rows_per_band: int = 4
     jaccard_threshold: float = 0.8
     # Buckets larger than this are dropped with a logged counter (skew guard
     # for boilerplate-heavy webtext; analogue of frequency_threshold

@@ -1,0 +1,173 @@
+"""NearDup: MinHash signatures + LSH band blocking + exact-Jaccard verify.
+
+The reference repo ships only the *outputs* of this half (cluster CSVs,
+README.md:367-376); the algorithm is Lee et al. 2021 (arXiv:2107.06499)
+§NearDup: 5-word shingles, MinHash, banded LSH targeting Jaccard≈0.8 pairs.
+
+Plan shape (all DataFrame; one vectorized Arrow kernel for signatures):
+
+  docs ── shingle_hashes (Catalyst exprs) ──► (doc_id, sh: array<long>)
+       ── mapInPandas numpy kernel        ──► (doc_id, sig: array<long>)
+       ── posexplode bands + xxhash64     ──► (doc_id, band, bucket)
+       ── groupBy bucket (size-capped)    ──► candidate pairs (self-join)
+       ── exact Jaccard on shingle sets   ──► edges(a, b, jaccard >= τ)
+
+Skew: webtext boilerplate creates giant buckets; buckets above
+``max_bucket_size`` are dropped with a logged count (the analogue of
+frequency_threshold, main.rs:914) — their members still pair via other
+bands or the exact-dup path. AQE skew-join splitting handles the rest.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import MINHASH_SEED, MinHashConfig
+from ..functions.text import shingle_hashes
+
+MERSENNE31 = (1 << 31) - 1  # modulus for (a*h + b) % p permutations
+
+
+def permutation_params(cfg: MinHashConfig) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(MINHASH_SEED)
+    a = rng.randint(1, MERSENNE31, size=cfg.num_perm, dtype=np.int64)
+    b = rng.randint(0, MERSENNE31, size=cfg.num_perm, dtype=np.int64)
+    return a, b
+
+
+def doc_shingles(docs: DataFrame, cfg: MinHashConfig, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh) with sh = distinct shingle hashes; empty-shingle docs
+    (empty text) are excluded — no content, no near-dup semantics."""
+    return docs.select(
+        "doc_id", shingle_hashes(text_col, cfg.shingle_words).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+
+SIGNATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sig", T.ArrayType(T.LongType(), False), False),
+    ]
+)
+
+
+def minhash_signatures(shingled: DataFrame, cfg: MinHashConfig) -> DataFrame:
+    """(doc_id, sh) -> (doc_id, sig[num_perm]).
+
+    Vectorized as a loop over the num_perm permutations, each a flat
+    contiguous pass ((a*h+b) % p then segment-min via np.minimum.reduceat)
+    over every shingle hash in the Arrow batch. Deliberately NOT the
+    (n_shingles x num_perm) broadcast matrix: a fresh multi-hundred-MB
+    allocation per batch pays first-touch page-fault cost and thrashes the
+    allocator; k small reused temporaries stream at SIMD speed.
+    """
+    a, b = permutation_params(cfg)
+    k = cfg.num_perm
+    p = np.int64(MERSENNE31)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lens = pdf["sh"].map(len).to_numpy().astype(np.int64)
+            allh = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in pdf["sh"]]
+            )
+            h32 = allh & np.int64(0x7FFFFFFF)
+            starts = np.zeros(len(pdf), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sigs = np.empty((len(pdf), k), dtype=np.int64)
+            for j in range(k):
+                v = (h32 * a[j] + b[j]) % p
+                sigs[:, j] = np.minimum.reduceat(v, starts)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "sig": list(sigs)}
+            )
+
+    return shingled.mapInPandas(kernel, SIGNATURE_SCHEMA)
+
+
+def lsh_buckets(signatures: DataFrame, cfg: MinHashConfig) -> DataFrame:
+    """(doc_id, sig) -> (doc_id, band, bucket): one bucket key per band,
+    bucket = xxhash64 of the band's signature slice (JVM-side)."""
+    r = cfg.rows_per_band
+    return signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(cfg.bands - 1)),
+                lambda band: F.xxhash64(band, F.slice("sig", band * r + 1, r)),
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def candidate_pairs(buckets: DataFrame, cfg: MinHashConfig) -> DataFrame:
+    """Distinct (a, b) candidate doc pairs from shared LSH buckets.
+
+    Bucket-size cap: the per-bucket pair blow-up is quadratic, so buckets
+    above max_bucket_size are excluded (count observable via
+    ``oversized_buckets``). The min-side join stays shuffle-local on the
+    (band, bucket) key; output deduped across bands.
+    """
+    sized = buckets.withColumn(
+        "bsize", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    ).filter((F.col("bsize") >= 2) & (F.col("bsize") <= cfg.max_bucket_size))
+    left = sized.select("band", "bucket", F.col("doc_id").alias("a"))
+    right = sized.select("band", "bucket", F.col("doc_id").alias("b"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def oversized_buckets(buckets: DataFrame, cfg: MinHashConfig) -> DataFrame:
+    """Observability for the skew guard: dropped (band, bucket, size)."""
+    return (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .filter(F.col("size") > cfg.max_bucket_size)
+    )
+
+
+def verify_pairs(
+    pairs: DataFrame, shingled: DataFrame, cfg: MinHashConfig
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs on the true shingle
+    sets (removes LSH false positives): edges(a, b, inter, union, jaccard).
+    """
+    sa = shingled.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    j = (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            (F.size("sh_a") + F.size("sh_b")).alias("sz"),
+        )
+        .withColumn("union", F.col("sz") - F.col("inter"))
+        .withColumn("jaccard", F.col("inter") / F.col("union"))
+    )
+    return j.filter(F.col("jaccard") >= cfg.jaccard_threshold).select(
+        "a", "b", "inter", "union", "jaccard"
+    )
+
+
+def near_duplicate_edges(
+    docs: DataFrame, cfg: MinHashConfig, text_col: str = "text"
+) -> DataFrame:
+    """documents -> verified near-duplicate edges (a, b, jaccard)."""
+    shingled = doc_shingles(docs, cfg, text_col)
+    sigs = minhash_signatures(shingled, cfg)
+    pairs = candidate_pairs(lsh_buckets(sigs, cfg), cfg)
+    return verify_pairs(pairs, shingled, cfg)

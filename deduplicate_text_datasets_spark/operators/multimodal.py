@@ -1,0 +1,133 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design for image/audio/video in a Spark training-data pipeline: the payload
+is an opaque BinaryType column; decode / feature-extract / resize /
+frame-sample are Arrow-batched kernels over mapInPandas. The media
+libraries (PIL/ffmpeg/librosa) are NOT in this container, so the decode
+step is stubbed: ``decoder="real"`` raises NotImplementedError at the
+exact integration point, and ``decoder="fake"`` is a deterministic
+byte-statistics decoder that keeps the Spark-side plumbing (schema,
+batching, partitioning) real and testable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("content_sha", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def _fake_decode(payload: bytes, media_type: str, dim: int) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: a byte-histogram feature.
+    Replace with PIL/ffmpeg decode in production."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if len(arr) == 0:
+        return np.zeros(dim)
+    hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
+    return (hist / len(arr)).astype(np.float64)
+
+
+def extract_features(
+    media: DataFrame, dim: int = 16, decoder: str = "fake"
+) -> DataFrame:
+    """media table -> per-item feature vectors (Arrow-batched kernel).
+
+    The batch shape is the contract: each mapInPandas batch holds whole
+    payloads; at scale set spark.sql.execution.arrow.maxRecordsPerBatch and
+    spark.sql.files.maxPartitionBytes so one batch of payloads fits executor
+    memory (payloads dominate; ~batch_rows * avg_payload bytes).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            feats, shas, sizes = [], [], []
+            for payload, mt in zip(pdf["payload"], pdf["media_type"]):
+                raw = bytes(payload)
+                if decoder == "real":
+                    raise NotImplementedError(
+                        "real media decode requires PIL/ffmpeg (not in this "
+                        "container); use decoder='fake' or plug a decoder in"
+                    )
+                feats.append(_fake_decode(raw, mt, dim))
+                shas.append(hashlib.sha256(raw).hexdigest())
+                sizes.append(len(raw))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "media_type": pdf["media_type"],
+                    "n_bytes": np.asarray(sizes, dtype=np.int64),
+                    "content_sha": shas,
+                    "feature": feats,
+                }
+            )
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        kernel, FEATURE_SCHEMA
+    )
+
+
+def frame_sample(
+    media: DataFrame, every_n_bytes: int = 1024, frame_bytes: int = 64
+) -> DataFrame:
+    """Deterministic frame sampling over video-like payloads: one 'frame'
+    (byte slice) every N bytes — the plumbing (explode to frames, stable
+    frame ids) is the real part; the slicing stands in for ffmpeg seeks."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("frame_id", T.LongType(), False),
+            T.StructField("frame", T.BinaryType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                for i, off in enumerate(range(0, len(raw), every_n_bytes)):
+                    rows.append((int(doc_id), i, raw[off : off + frame_bytes]))
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "frame_id", "frame"])
+
+    return media.select("doc_id", "payload").mapInPandas(kernel, out_schema)
+
+
+def exact_media_duplicates(media: DataFrame) -> DataFrame:
+    """Exact payload dedup — JVM-side sha2 over the binary column; no
+    decode needed (works for any modality)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.sha2("payload", 256))
+    return media.select(
+        "doc_id",
+        "media_type",
+        F.min("doc_id").over(w).alias("group_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    )

@@ -131,7 +131,9 @@ def window_fingerprints(
     """documents -> (h1, h2, pos) fingerprint frame (one row per corpus
     position). ``docs`` may already carry offsets; if not they are added."""
     if "byte_start" not in docs.columns:
-        docs = with_offsets(docs, cfg.with_separators)
+        # cache: the offsets frame feeds both the total-bytes action and the
+        # fingerprint job (avoids recomputing the cumsum windows)
+        docs = with_offsets(docs, cfg.with_separators).cache()
     if total is None:
         total = corpus_total_bytes(docs)
     shards = assign_shards(docs, cfg.shard_bytes, cfg.overlap_bytes)

@@ -1,0 +1,100 @@
+"""End-to-end pipelines: NearDup clustering (flagship) and ExactSubstr
+dedup — the two halves of Lee et al. 2021, composed from the operator
+modules. Optionally checkpointed stage-by-stage (StageStore) so any stage
+resumes mid-run (north_rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import EngineConfig
+from ..operators.connected_components import connected_components
+from ..operators.exact import exact_duplicate_edges
+from ..operators.intervals import coalesce_positions
+from ..operators.minhash import near_duplicate_edges
+from ..operators.strike import apply_removals
+from ..operators.suffix import self_similar
+from ..sources.corpus import corpus_total_bytes, with_offsets
+from .checkpoints import StageStore, config_fingerprint
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    cfg: EngineConfig,
+    store: StageStore | None = None,
+) -> DataFrame:
+    """NearDup flagship: documents -> clusters(doc_id, url, cluster_id,
+    is_duplicate, keep).
+
+    exact-dup edges ∪ verified MinHash edges -> connected components;
+    cluster_id = min member doc_id; keep = cluster minimum (the released
+    reference CSVs carry exactly (id, deleted, cluster) — README.md:367-376).
+    """
+
+    def build_edges() -> DataFrame:
+        mh = near_duplicate_edges(docs, cfg.minhash).select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        )
+        ex = exact_duplicate_edges(docs)
+        return mh.unionByName(ex).distinct()
+
+    edges = store.stage("neardup_edges", build_edges) if store else build_edges()
+    nodes = docs.select(F.col("doc_id").alias("node"))
+
+    def build_assign() -> DataFrame:
+        return connected_components(edges, nodes=nodes)
+
+    assign = (
+        store.stage("neardup_components", build_assign, upstream=["neardup_edges"])
+        if store
+        else build_assign()
+    )
+    out = (
+        docs.select("doc_id", "url")
+        .join(assign, docs["doc_id"] == assign["node"], "left")
+        .select(
+            "doc_id",
+            "url",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+        .withColumn("is_duplicate", F.col("cluster_id") != F.col("doc_id"))
+        .withColumn("keep", F.col("cluster_id") == F.col("doc_id"))
+    )
+    return out
+
+
+def exactsubstr_dedup(
+    docs: DataFrame,
+    cfg: EngineConfig,
+    store: StageStore | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """ExactSubstr pipeline (run_pipeline.sh equivalent): documents ->
+    (remove_ranges(start, end), deduped(doc_id, url, deduped)).
+    One Spark job graph: offsets -> overlap shards -> window fingerprints ->
+    global cluster groupBy -> coalesce -> interval join -> strike.
+    """
+    d = with_offsets(docs, cfg.exact.with_separators)
+    d = d.cache()
+    total = corpus_total_bytes(d)
+
+    def build_dups() -> DataFrame:
+        return self_similar(d, cfg.exact, total)
+
+    dups = store.stage("exactsubstr_dups", build_dups) if store else build_dups()
+
+    def build_ranges() -> DataFrame:
+        return coalesce_positions(dups, cfg.exact.length_threshold)
+
+    ranges = (
+        store.stage("remove_ranges", build_ranges, upstream=["exactsubstr_dups"])
+        if store
+        else build_ranges()
+    )
+    deduped = apply_removals(d, ranges, cfg.exact)
+    return ranges, deduped
+
+
+def make_store(spark, base_dir: str, cfg: EngineConfig) -> StageStore:
+    return StageStore(spark, base_dir, fingerprint=config_fingerprint(cfg))

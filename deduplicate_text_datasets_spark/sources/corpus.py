@@ -32,40 +32,63 @@ from pyspark.sql import functions as F
 from ..config import SEP_BYTES
 
 # Docs per offset block. The global running sum is computed hierarchically:
-# a per-block window cumsum (parallel across blocks) + a tiny per-block
-# totals frame (N / BLOCK_DOCS rows) whose own cumsum is cheap on one
-# partition even at 10^12 docs (=> ~10^6 block rows).
-BLOCK_DOCS = 1 << 20
+# a per-block window cumsum (parallel across blocks) + a per-block totals
+# frame (N / BLOCK_DOCS rows) whose own cumsum runs on one partition — at
+# 2^16 docs/block and 16 bytes/row that stays small deep into the trillions
+# (10^12 docs => 15M block rows ≈ 240 MB; add another level beyond that).
+BLOCK_DOCS = 1 << 16
 
 
 def with_offsets(docs: DataFrame, with_separators: bool = True) -> DataFrame:
     """Add (doc_len, byte_start, byte_end) global-offset columns.
 
     Replaces the reference's `.size` cumulative-offset sidecar
-    (load_dataset.py:79-92). Scalable: no single-partition window over the
-    full table — the unbounded window runs per block, and only the
-    block-totals frame (1/2^20 of the rows) is globally ordered.
+    (load_dataset.py:79-92). Scale shape: the cumulative windows run over a
+    projected (doc_id, doc_len) frame only — the wide text column never
+    rides a window exchange — and the result is joined back on doc_id
+    (plain co-partitioned shuffle join, AQE-managed).
     """
     sep = SEP_BYTES if with_separators else 0
-    d = docs.withColumn("doc_len", (F.octet_length("text") + F.lit(sep)).cast("long"))
-    d = d.withColumn("_block", F.floor(F.col("doc_id") / BLOCK_DOCS))
+    lens = docs.select(
+        "doc_id",
+        (F.octet_length("text") + F.lit(sep)).cast("long").alias("doc_len"),
+    )
+    lens = lens.withColumn("_block", F.floor(F.col("doc_id") / BLOCK_DOCS))
     w_in = (
         Window.partitionBy("_block")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    d = d.withColumn("_local", F.coalesce(F.sum("doc_len").over(w_in), F.lit(0)))
-    block_totals = d.groupBy("_block").agg(F.sum("doc_len").alias("_blen"))
+    lens = lens.withColumn(
+        "_local", F.coalesce(F.sum("doc_len").over(w_in), F.lit(0))
+    )
+    block_totals = lens.groupBy("_block").agg(F.sum("doc_len").alias("_blen"))
     w_b = Window.orderBy("_block").rowsBetween(Window.unboundedPreceding, -1)
     block_totals = block_totals.withColumn(
         "_bstart", F.coalesce(F.sum("_blen").over(w_b), F.lit(0))
     ).select("_block", "_bstart")
-    d = d.join(F.broadcast(block_totals), "_block")
-    return (
-        d.withColumn("byte_start", (F.col("_bstart") + F.col("_local")).cast("long"))
+    offs = (
+        lens.join(F.broadcast(block_totals), "_block")
+        .withColumn("byte_start", (F.col("_bstart") + F.col("_local")).cast("long"))
         .withColumn("byte_end", F.col("byte_start") + F.col("doc_len"))
-        .drop("_block", "_local", "_bstart")
+        .select("doc_id", "doc_len", "byte_start", "byte_end")
     )
+    return docs.join(offs, "doc_id")
+
+
+def auto_shard_bytes(
+    total_bytes: int,
+    parallelism: int,
+    waves: int = 3,
+    min_bytes: int = 128 * 1024,
+    max_bytes: int = 64 * 1024 * 1024,
+) -> int:
+    """Pick a shard width giving ~``waves`` tasks per core, clamped to
+    [128 KiB, 64 MiB]. At petabyte scale the 64 MiB cap dominates (shard
+    text + fingerprints ~25 bytes/byte must fit one executor core); at test
+    scale the floor keeps overlap overhead < 1%."""
+    ideal = max(1, total_bytes // max(1, parallelism * waves))
+    return max(min_bytes, min(max_bytes, ideal))
 
 
 def corpus_total_bytes(docs_with_offsets: DataFrame) -> int:

@@ -54,6 +54,13 @@ def read_documents(spark: SparkSession, path: str) -> DataFrame:
     is a plain declarative projection (no UDFs).
     """
     df = spark.read.parquet(path)
+    # Small test files arrive as one row-group => one partition => every
+    # downstream kernel runs on one core. Fan out when the scan produced
+    # fewer splits than the cluster width; a no-op at web scale where the
+    # file listing already yields >= parallelism splits.
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        df = df.repartition(want)
     cols = set(df.columns)
     if {"url", "text"} <= cols:
         if "doc_id" not in cols:

@@ -1,0 +1,115 @@
+"""Pipeline-level behavior: checkpoint/resume with lineage counters
+(north_rule) and incremental streaming ingest."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from deduplicate_text_datasets_spark.config import EngineConfig, MinHashConfig
+from deduplicate_text_datasets_spark.plans.checkpoints import (
+    StageStore,
+    config_fingerprint,
+)
+from deduplicate_text_datasets_spark.plans.pipeline import neardup_clusters
+from deduplicate_text_datasets_spark.sources.documents import (
+    DOCUMENTS_SCHEMA,
+    synth_documents_pandas,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.createDataFrame(
+        synth_documents_pandas(80, size_lo=30, size_hi=120), schema=DOCUMENTS_SCHEMA
+    )
+    df.cache().count()
+    return df
+
+
+def test_stage_store_resume(spark, docs, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("stages"))
+    cfg = EngineConfig()
+    store = StageStore(spark, base, fingerprint=config_fingerprint(cfg))
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return docs.select("doc_id", "url")
+
+    df1 = store.stage("s1", build)
+    assert calls["n"] == 1
+    assert store.has("s1")
+    df2 = store.stage("s1", build)  # resume: no rebuild
+    assert calls["n"] == 1
+    assert df2.count() == df1.count() == 80
+    rec = store.lineage("s1")
+    assert rec["rows"] == 80 and rec["complete"]
+    assert sum(rec["partition_counters"].values()) == 80
+    # config change invalidates
+    store2 = StageStore(spark, base, fingerprint="other")
+    store2.stage("s1", build)
+    assert calls["n"] == 2
+
+
+def test_neardup_with_store_resumes(spark, docs, tmp_path_factory):
+    from deduplicate_text_datasets_spark.plans.pipeline import make_store
+
+    base = str(tmp_path_factory.mktemp("nd"))
+    cfg = EngineConfig()
+    store = make_store(spark, base, cfg)
+    out1 = neardup_clusters(docs, cfg, store=store).orderBy("doc_id").collect()
+    assert os.path.exists(os.path.join(base, "neardup_edges._LINEAGE.json"))
+    # second run resumes from parquet (same fingerprint)
+    store2 = make_store(spark, base, cfg)
+    out2 = neardup_clusters(docs, cfg, store=store2).orderBy("doc_id").collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+
+
+def test_streaming_incremental_dedup(spark, docs, tmp_path_factory):
+    from deduplicate_text_datasets_spark.streaming.ingest import (
+        build_index,
+        start_incremental_dedup,
+    )
+
+    base = tmp_path_factory.mktemp("stream")
+    index_dir = str(base / "index")
+    input_dir = str(base / "incoming")
+    output_dir = str(base / "out")
+    checkpoint_dir = str(base / "ckpt")
+    os.makedirs(input_dir)
+
+    cfg = MinHashConfig()
+    build_index(docs, cfg, index_dir)
+
+    # new batch: one exact copy of doc 0, one near copy of the longest doc
+    # (single-word edit on a short doc legitimately drops Jaccard below the
+    # 0.8 threshold — pick a long base so the near-dup stays above it)
+    rows = docs.filter(F.col("doc_id") < 20).collect()
+    t0 = [r for r in rows if r["doc_id"] == 0][0]["text"]
+    t4 = max((r["text"] for r in rows), key=lambda t: len(t.split()))
+    words = t4.split()
+    words[3] = "zzznovelword"
+    near = " ".join(words)
+    new = spark.createDataFrame(
+        [
+            (1000, "https://new/0", t0, "en"),
+            (1001, "https://new/1", near, "en"),
+            (1002, "https://new/2", "entirely fresh words " * 30, "en"),
+        ],
+        "doc_id long, url string, text string, lang string",
+    )
+    new.write.mode("overwrite").parquet(input_dir)
+
+    q = start_incremental_dedup(
+        spark, input_dir, index_dir, output_dir, checkpoint_dir, cfg,
+        schema=new.schema, available_now=True,
+    )
+    q.awaitTermination(120)
+    out = {r["doc_id"]: r["verdict"] for r in spark.read.parquet(output_dir).collect()}
+    assert out[1000] == "exact"
+    assert out[1001] == "near"
+    assert out[1002] == "novel"
