@@ -136,49 +136,59 @@ def _scaling_job(spark, docs, exact_cfg):
     return n_pairs, n_dups
 
 
-def run_scaling(sf_dir: str, n_docs: int | None = None) -> dict:
-    """Same job, same input, same plan constants at local[8] and local[32]
-    (shard width fixed from the 32-core layout so the physical work is
-    identical); a small warmup job first spawns Python workers and JIT-warms
-    both legs equally."""
+def scaling_leg(cores: int, n_docs: int) -> dict:
+    """One parallelism level: same job, same input, same plan constants
+    (shard width fixed from the 32-core layout so physical work is
+    identical across legs); a small warmup job first spawns Python workers
+    and JIT-warms the JVM."""
     import dataclasses
 
     from deduplicate_text_datasets_spark.sources.corpus import auto_shard_bytes
 
-    n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "12000"))
+    spark = get_spark(
+        f"bench-scaling-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    docs = _scaling_docs(spark, n_docs)
+    docs = docs.repartition(64).cache()
+    n = docs.count()  # materialize cache (generation excluded from timing)
+    total = docs.agg(F.sum(F.octet_length("text") + 6).alias("t")).collect()[0]["t"]
+    shard_bytes = auto_shard_bytes(int(total), parallelism=32)
+    cfg = dataclasses.replace(BENCH_EXACT, shard_bytes=shard_bytes)
+    warm = _scaling_docs(spark, 400).repartition(64).cache()
+    warm.count()
+    _scaling_job(spark, warm, cfg)  # warmup: worker spawn + JIT
+    t0 = time.time()
+    _scaling_job(spark, docs, cfg)
+    wall = time.time() - t0
+    spark.stop()
+    return {
+        "docs": n,
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(n / wall, 1),
+        "shard_bytes": shard_bytes,
+    }
+
+
+def run_scaling(sf_dir: str, n_docs: int | None = None) -> dict:
+    """north_rule sandbox scaling: the same job on the same input at
+    local[8] vs local[32], each leg in a FRESH process (JVM/page-cache
+    state from a prior leg otherwise contaminates the timing)."""
+    import subprocess
+
+    n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "24000"))
     out = {}
-    shard_bytes = None
     for cores in (8, 32):
-        spark = get_spark(
-            f"bench-scaling-{cores}", master=f"local[{cores}]",
-            shuffle_partitions=cores,
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--leg", str(cores), str(n_docs)],
+            capture_output=True, text=True, timeout=1800,
         )
-        docs = _scaling_docs(spark, n_docs)
-        docs = docs.repartition(64).cache()
-        n = docs.count()  # materialize cache (generation excluded from timing)
-        if shard_bytes is None:
-            total = docs.agg(
-                F.sum(F.octet_length("text") + 6).alias("t")
-            ).collect()[0]["t"]
-            shard_bytes = auto_shard_bytes(int(total), parallelism=32)
-        cfg = dataclasses.replace(BENCH_EXACT, shard_bytes=shard_bytes)
-        warm = _scaling_docs(spark, 400).repartition(64).cache()
-        warm.count()
-        _scaling_job(spark, warm, cfg)  # warmup: worker spawn + JIT
-        t0 = time.time()
-        _scaling_job(spark, docs, cfg)
-        wall = time.time() - t0
-        out[f"local{cores}"] = {
-            "docs": n,
-            "wall_sec": round(wall, 3),
-            "docs_per_sec": round(n / wall, 1),
-        }
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        out[f"local{cores}"] = json.loads(line)
         print(f"[bench] scaling local[{cores}]: {out[f'local{cores}']}", file=sys.stderr)
-        spark.stop()
     speedup = out["local8"]["wall_sec"] / out["local32"]["wall_sec"]
     out["speedup_8_to_32"] = round(speedup, 3)
     out["efficiency"] = round(speedup / 4.0, 3)
-    out["shard_bytes"] = shard_bytes
     return out
 
 
@@ -206,4 +216,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--leg":
+        print(json.dumps(scaling_leg(int(sys.argv[2]), int(sys.argv[3]))))
+    else:
+        main()

@@ -26,3 +26,32 @@ only Python on the hot path is vectorized Arrow/pandas kernels.
 """
 
 __version__ = "0.1.0"
+
+
+def _tune_allocator() -> None:
+    """Keep large malloc'd buffers in the process heap instead of the
+    mmap/munmap cycle.
+
+    On virtualized hosts (and this sandbox measurably — see BASELINE.md),
+    first-touch page faults cost orders of magnitude more than the
+    arithmetic on the page, and glibc returns every >=128 KiB buffer to the
+    OS on free, so each Arrow batch / numpy temporary refaults its pages.
+    Raising M_MMAP_THRESHOLD and disabling trim makes the allocator reuse
+    heap memory: measured 250x on repeated 320 MB alloc+touch cycles.
+    Trade-off: each Python worker retains its peak allocation (bounded by
+    batch sizing). No-op off Linux/glibc.
+    """
+    import ctypes
+    import sys
+
+    if not sys.platform.startswith("linux"):
+        return
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(ctypes.c_int(-3), ctypes.c_int(1 << 30))  # M_MMAP_THRESHOLD
+        libc.mallopt(ctypes.c_int(-1), ctypes.c_int(2**31 - 1))  # M_TRIM_THRESHOLD
+    except Exception:
+        pass
+
+
+_tune_allocator()

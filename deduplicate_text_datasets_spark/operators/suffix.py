@@ -149,27 +149,32 @@ def find_duplicates(fingerprints: DataFrame, cfg: ExactSubstrConfig) -> DataFram
     window fingerprint; clusters of size >= 2 (and > frequency_threshold,
     main.rs:914) are duplicates.
 
-    Plan shape: groupBy (map-side partial agg shrinks the shuffle to the
-    distinct-window count) + join-back restricted to duplicate windows only
-    (usually a tiny fraction => AQE turns it into a broadcast join). A hot
-    window (boilerplate repeated millions of times) lands in one reduce
-    group, but the aggregate is (count, min) — constant state, no blow-up;
-    the join-back is skew-split by AQE.
+    Plan shape: ONE shuffle on (h1, h2), then a window aggregate over the
+    exchange — every position keeps its row while (count, min) attach to
+    it. The groupBy + join-back alternative shuffles the fingerprint frame
+    twice and re-runs the shard kernels unless cached (measured 14x slower
+    at bench scale). A hot window (boilerplate repeated millions of times)
+    makes one large sort group; WindowExec spills via the external sorter,
+    and ``frequency_threshold`` post-filters it like the reference.
 
     Returns duplicates(pos, cluster_id, cluster_size), cluster_id = min
     member position (deterministic; reference numbering is order-dependent
     so we fix min-member, SURVEY.md §7).
     """
-    sizes = fingerprints.groupBy("h1", "h2").agg(
-        F.count(F.lit(1)).alias("cluster_size"),
-        F.min("pos").alias("cluster_id"),
-    )
-    dup_sizes = sizes.filter(
-        (F.col("cluster_size") >= 2)
-        & (F.col("cluster_size") > cfg.frequency_threshold)
-    )
-    return fingerprints.join(dup_sizes, ["h1", "h2"]).select(
-        "pos", "cluster_id", "cluster_size"
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h1", "h2")
+    return (
+        fingerprints.select(
+            "pos",
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+            F.min("pos").over(w).alias("cluster_id"),
+        )
+        .filter(
+            (F.col("cluster_size") >= 2)
+            & (F.col("cluster_size") > cfg.frequency_threshold)
+        )
+        .select("pos", "cluster_id", "cluster_size")
     )
 
 
@@ -437,3 +442,73 @@ def find_training_data(
     return per_shard.groupBy("query_id", "qpos").agg(
         F.max("match_len").alias("match_len")
     )
+
+
+POSITIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType(), False),
+        T.StructField("pos", T.LongType(), False),
+    ]
+)
+
+
+def find_positions(
+    docs: DataFrame,
+    queries: list[tuple[int, bytes]],
+    cfg: ExactSubstrConfig,
+    total: int | None = None,
+) -> DataFrame:
+    """All occurrence positions of each query (SuffixTable::positions,
+    src/table.rs:250-307): the same per-shard double binary search as
+    count_occurrences, emitting every owned start offset."""
+    max_q = max((len(q) for _, q in queries), default=0)
+    if max_q > cfg.overlap_bytes + 1:
+        raise ValueError(
+            f"query of {max_q} bytes exceeds overlap_bytes+1="
+            f"{cfg.overlap_bytes + 1}"
+        )
+    if "byte_start" not in docs.columns:
+        docs = with_offsets(docs, cfg.with_separators)
+    if total is None:
+        total = corpus_total_bytes(docs)
+    qarr = [(int(qid), np.frombuffer(q, dtype=np.uint8)) for qid, q in queries]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = int(pdf["shard_id"].iloc[0])
+        lo, buf = assemble_shard_buffer(
+            pdf, cfg.shard_bytes, cfg.overlap_bytes, total, cfg.with_separators
+        )
+        own_hi = min((s + 1) * cfg.shard_bytes, total)
+        sa = suffix_array(buf)
+        out_q, out_p = [], []
+        for qid, q in qarr:
+            if len(q) == 0:
+                continue
+            first, last = _sa_range(buf, sa, q)
+            starts = sa[first:last] + lo
+            owned = starts[starts < own_hi]
+            out_q.extend([qid] * len(owned))
+            out_p.extend(owned.tolist())
+        return pd.DataFrame({"query_id": out_q, "pos": out_p}).astype(
+            {"query_id": "int64", "pos": "int64"}
+        )
+
+    shards = assign_shards(docs, cfg.shard_bytes, cfg.overlap_bytes)
+    return (
+        shards.select("shard_id", "doc_id", "byte_start", "text")
+        .groupBy("shard_id")
+        .applyInPandas(kernel, POSITIONS_SCHEMA)
+    )
+
+
+def contains(
+    docs: DataFrame,
+    queries: list[tuple[int, bytes]],
+    cfg: ExactSubstrConfig,
+    total: int | None = None,
+) -> DataFrame:
+    """Membership probe (is_present_memory, src/main.rs:442-485):
+    (query_id, present) — a count > 0 test; the per-shard search
+    short-circuits through the same SA range lookup."""
+    out = count_occurrences(docs, queries, cfg, total)
+    return out.select("query_id", (F.col("count") > 0).alias("present"))

@@ -98,3 +98,27 @@ def exactsubstr_dedup(
 
 def make_store(spark, base_dir: str, cfg: EngineConfig) -> StageStore:
     return StageStore(spark, base_dir, fingerprint=config_fingerprint(cfg))
+
+
+def across_dedup(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    cfg: EngineConfig,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Cross-corpus contamination pipeline (README.md:324-340:
+    across-similar + collect + strike on side A):
+
+    returns (dups_a, remove_ranges_a, deduped_a) where dups_a are the
+    positions of A whose length-L window also occurs in B.
+    """
+    from ..operators.suffix import across_similar, window_fingerprints
+    from ..sources.corpus import corpus_total_bytes, with_offsets
+
+    da = with_offsets(docs_a, cfg.exact.with_separators).cache()
+    db = with_offsets(docs_b, cfg.exact.with_separators).cache()
+    fp_a = window_fingerprints(da, cfg.exact, corpus_total_bytes(da))
+    fp_b = window_fingerprints(db, cfg.exact, corpus_total_bytes(db))
+    dups_a, _ = across_similar(fp_a, fp_b, cfg.exact)
+    ranges_a = coalesce_positions(dups_a, cfg.exact.length_threshold)
+    deduped_a = apply_removals(da, ranges_a, cfg.exact)
+    return dups_a, ranges_a, deduped_a

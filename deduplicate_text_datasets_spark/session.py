@@ -18,6 +18,12 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra: dict[str, str] | None = None,
 ) -> SparkSession:
+    # NOTE: Python workers get glibc allocator tuning via the package's
+    # _tune_allocator() (deduplicate_text_datasets_spark/__init__.py) — it
+    # measurably removes the mmap/refault cycle for numpy kernels. Do NOT
+    # export MALLOC_* env to the JVM: forcing the JVM's native mallocs
+    # through the sbrk main arena stalls its many threads on the (host-
+    # serialized) fault path — observed as whole-job hangs.
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:

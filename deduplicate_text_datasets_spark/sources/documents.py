@@ -197,3 +197,45 @@ def synth_documents(
         spark.range(0, n, 1, numPartitions=max(1, n // 2000))
         .mapInPandas(gen, DOCUMENTS_SCHEMA)
     )
+
+
+def read_text_corpus(spark: SparkSession, path: str, fmt: str = "auto") -> DataFrame:
+    """Ingest raw text corpora the way the reference's HF loader does
+    (scripts/load_dataset_hf.py:25,51-57: txt / jsonl / csv globs) into the
+    canonical documents frame. ``text`` is taken from a ``text`` column
+    (jsonl/csv) or the whole line (txt); doc_id is the deterministic
+    row_number in input order (the reference's uid, load_dataset.py:58)."""
+    if fmt == "auto":
+        low = path.lower()
+        fmt = (
+            "json" if (".json" in low or ".jsonl" in low)
+            else "csv" if ".csv" in low
+            else "text"
+        )
+    if fmt == "json":
+        raw = spark.read.json(path)
+    elif fmt == "csv":
+        raw = spark.read.option("header", "true").csv(path)
+    else:
+        raw = spark.read.text(path).withColumnRenamed("value", "text")
+    if "text" not in raw.columns:
+        raise ValueError(f"no 'text' column in {path} (columns: {raw.columns})")
+    d = raw.withColumn(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.monotonically_increasing_id())).cast("long") - 1,
+    )
+    return d.select(
+        "doc_id",
+        F.coalesce(
+            F.col("url") if "url" in raw.columns else F.lit(None).cast("string"),
+            F.concat(F.lit("corpus://doc/"), F.col("doc_id")),
+        ).alias("url"),
+        (
+            F.col("warc_ts") if "warc_ts" in raw.columns else F.lit(EPOCH)
+        ).cast("timestamp").alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+        F.col("text").cast("string").alias("text"),
+        (
+            F.col("lang") if "lang" in raw.columns else F.lit("und")
+        ).cast("string").alias("lang"),
+    )
