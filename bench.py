@@ -176,19 +176,26 @@ def run_scaling(sf_dir: str, n_docs: int | None = None) -> dict:
     state from a prior leg otherwise contaminates the timing)."""
     import subprocess
 
-    n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "24000"))
+    n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "16000"))
+    leg_timeout = int(os.environ.get("SPARK_GRAFT_SCALING_LEG_TIMEOUT", "600"))
     out = {}
     for cores in (8, 32):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--leg", str(cores), str(n_docs)],
-            capture_output=True, text=True, timeout=1800,
-        )
-        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-        out[f"local{cores}"] = json.loads(line)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--leg", str(cores), str(n_docs)],
+                capture_output=True, text=True, timeout=leg_timeout,
+            )
+            line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+            out[f"local{cores}"] = json.loads(line)
+        except Exception as exc:  # a failed leg must not lose the bench JSON
+            out[f"local{cores}"] = {"error": str(exc)[:200]}
         print(f"[bench] scaling local[{cores}]: {out[f'local{cores}']}", file=sys.stderr)
-    speedup = out["local8"]["wall_sec"] / out["local32"]["wall_sec"]
-    out["speedup_8_to_32"] = round(speedup, 3)
-    out["efficiency"] = round(speedup / 4.0, 3)
+    try:
+        speedup = out["local8"]["wall_sec"] / out["local32"]["wall_sec"]
+        out["speedup_8_to_32"] = round(speedup, 3)
+        out["efficiency"] = round(speedup / 4.0, 3)
+    except KeyError:
+        pass
     return out
 
 
@@ -211,7 +218,10 @@ def main() -> None:
         "sf": float(sf),
     }
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
-        result["scaling"] = run_scaling(SF_DIR)
+        try:
+            result["scaling"] = run_scaling(SF_DIR)
+        except Exception as exc:
+            result["scaling"] = {"error": str(exc)[:200]}
     print(json.dumps(result))
 
 
