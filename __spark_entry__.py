@@ -109,17 +109,48 @@ def _q_count_occurrences(spark, sf_dir):
     from deduplicate_text_datasets_spark.operators.suffix import count_occurrences
 
     docs = _docs(spark, sf_dir)
+    out = count_occurrences(docs, _count_query_list(spark, sf_dir), EXACT_CFG)
+    return out.select("query_id", F.col("count").alias("n_matches"))
+
+
+def _count_query_list(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
     rows = (
         docs.filter(F.col("doc_id").isin([d for _, d, _, _ in _COUNT_QUERIES]))
         .select("doc_id", "text")
         .collect()
     )
     texts = {r["doc_id"]: r["text"] for r in rows}
-    queries = [
+    return [
         (qid, texts[d][start - 1 : start - 1 + ln].encode())
         for qid, d, start, ln in _COUNT_QUERIES
     ] + [(_ABSENT_QUERY[0], _ABSENT_QUERY[1].encode())]
-    out = count_occurrences(docs, queries, EXACT_CFG)
+
+
+def _q_count_occurrences_indexed(spark, sf_dir):
+    """Build-once / query-many parity (README.md:86 build, :98 ms lookup):
+    the suffix index is persisted to parquet on first use and every later
+    call answers from the stored per-shard arrays."""
+    import hashlib
+
+    from deduplicate_text_datasets_spark.operators.sa_index import (
+        build_suffix_index,
+        count_occurrences_indexed,
+        read_suffix_index,
+        write_suffix_index,
+    )
+
+    key = hashlib.sha1(
+        f"{sf_dir}|{EXACT_CFG.shard_bytes}|{EXACT_CFG.overlap_bytes}|"
+        f"{EXACT_CFG.with_separators}|v1".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/spark_graft_sa_index/{key}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        write_suffix_index(
+            build_suffix_index(_docs(spark, sf_dir), EXACT_CFG), path
+        )
+    index = read_suffix_index(spark, path)
+    out = count_occurrences_indexed(index, _count_query_list(spark, sf_dir))
     return out.select("query_id", F.col("count").alias("n_matches"))
 
 
@@ -251,7 +282,12 @@ def _q_minhash_signatures(spark, sf_dir):
         minhash_signatures,
     )
 
-    return minhash_signatures(doc_shingles(_docs(spark, sf_dir), MH_CFG), MH_CFG)
+    sigs = minhash_signatures(doc_shingles(_docs(spark, sf_dir), MH_CFG), MH_CFG)
+    # scalar columns only: the driver's value-hash canonicalizer sorts rows
+    # via pandas, which cannot hash an array<long> cell (round-1 crash)
+    return sigs.select(
+        "doc_id", F.posexplode("sig").alias("perm", "sig_value")
+    )
 
 
 def _q_simhash_pairs(spark, sf_dir):
@@ -261,9 +297,12 @@ def _q_simhash_pairs(spark, sf_dir):
 
 
 def _q_deduped_docs(spark, sf_dir):
+    # separator-free config so the DuckDB splice oracle (string_agg corpus,
+    # per-doc gap reconstruction) is expressible; the separator layout is
+    # byte-identity-tested against oracle/pyref.py in pytest instead
     from deduplicate_text_datasets_spark.plans.pipeline import exactsubstr_dedup
 
-    cfg = EngineConfig(exact=EXACT_CFG)
+    cfg = EngineConfig(exact=SS_CFG)
     _, deduped = exactsubstr_dedup(_docs(spark, sf_dir), cfg)
     return deduped.select("doc_id", "url", F.sha2("deduped", 256).alias("sha"))
 
@@ -274,14 +313,35 @@ def _q_find_training_data(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     t = docs.filter(F.col("doc_id") == 0).collect()[0]["text"]
     q = [(0, (t[:48] + "QQXXQQXX").encode())]
-    return find_training_data(docs, q, EXACT_CFG, probe_cap=256)
+    # separator-free: LCP probes over the pure-text corpus match the SQL
+    # oracle exactly (with separators a uid byte could extend a 0-length
+    # match by coincidence, which SQL over text cannot express)
+    return find_training_data(docs, q, SS_CFG, probe_cap=256)
 
 
 def _q_embedding_cosine_pairs(spark, sf_dir):
     from deduplicate_text_datasets_spark.operators.ann import cosine_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return cosine_pairs(emb, dim=64, threshold=0.5, nbits=6)
+    # banded multi-table LSH sized for ~1e-5 miss probability at the
+    # threshold (round-1 single-table variant had ~9% recall); candidates
+    # are exactly verified, so output equals the all-pairs oracle up to
+    # the sized miss rate
+    return cosine_pairs(
+        emb, dim=64, threshold=0.5, method="lsh", bits=4, target_recall=0.99999
+    )
+
+
+def _q_across_similar_positions(spark, sf_dir):
+    from deduplicate_text_datasets_spark.plans.pipeline import across_dedup
+
+    docs = _docs(spark, sf_dir)
+    dups_a, _, _ = across_dedup(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        EngineConfig(exact=SS_CFG),
+    )
+    return dups_a.select(F.col("pos").cast("long").alias("pos"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -290,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": _q_exact_dup_groups,
         "cc_clusters": _q_cc_clusters,
         "count_occurrences": _q_count_occurrences,
+        "count_occurrences_indexed": _q_count_occurrences_indexed,
         "self_similar_ranges": _q_self_similar_ranges,
         "self_similar_positions": _q_self_similar_positions,
         "interval_coalesce": _q_interval_coalesce,
@@ -305,6 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deduped_docs": _q_deduped_docs,
         "find_training_data": _q_find_training_data,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
+        "across_similar_positions": _q_across_similar_positions,
     }
 
 
@@ -318,22 +380,34 @@ _TOKS = (
 
 
 def oracle_sql() -> dict[str, str]:
+    # Overlap-aware substring counting (reference semantics: "aaaa" contains
+    # "aa" 3 times, main.rs:629-632): probe every start offset instead of
+    # the replace-length trick, which counts non-overlapping occurrences.
+    # Per-doc counting matches the Spark side because the separator bytes
+    # (\xff\xff + uid) cannot appear inside a pure-text query at this doc
+    # count (uid bytes 2-3 are zero below 2^16 docs), so no match crosses a
+    # document boundary.
     count_parts = []
     for qid, d, start, ln in _COUNT_QUERIES:
         count_parts.append(
             f"""
   SELECT {qid} AS query_id, CAST(COALESCE(SUM(
-      (strlen(text) - strlen(replace(text, q.q, ''))) / strlen(q.q)), 0) AS BIGINT) AS n_matches
-  FROM documents CROSS JOIN
-       (SELECT substr(text, {start}, {ln}) AS q FROM documents WHERE doc_id = {d}) q"""
+      CASE WHEN substr(dd.text, t.i, strlen(q.q)) = q.q THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_matches
+  FROM (SELECT substr(text, {start}, {ln}) AS q FROM documents WHERE doc_id = {d}) q
+  CROSS JOIN documents dd, UNNEST(range(1, strlen(dd.text) + 1)) t(i)"""
         )
     count_parts.append(
         f"""
   SELECT {_ABSENT_QUERY[0]} AS query_id, CAST(COALESCE(SUM(
-      (strlen(text) - strlen(replace(text, '{_ABSENT_QUERY[1]}', ''))) / strlen('{_ABSENT_QUERY[1]}')), 0) AS BIGINT) AS n_matches
-  FROM documents"""
+      CASE WHEN substr(dd.text, t.i, strlen('{_ABSENT_QUERY[1]}')) = '{_ABSENT_QUERY[1]}' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_matches
+  FROM documents dd, UNNEST(range(1, strlen(dd.text) + 1)) t(i)"""
     )
     count_sql = " UNION ALL ".join(count_parts)
+
+    from fractions import Fraction
+
+    jfrac = Fraction(MH_CFG.jaccard_threshold).limit_denominator(1_000_000)
+    jnum, jden = jfrac.numerator, jfrac.denominator
 
     # flat corpus (no separators) exactly as the Spark SS_CFG sees it
     self_similar_core = """
@@ -375,6 +449,7 @@ WITH RECURSIVE edges AS (
 )
 SELECT n AS node, LEAST(n, MIN(m)) AS component FROM reach GROUP BY n ORDER BY node""",
         "count_occurrences": count_sql,
+        "count_occurrences_indexed": count_sql,
         "self_similar_ranges": self_similar_core
         + """,
 flagged AS (
@@ -502,4 +577,139 @@ SELECT query_id, rank, neighbor_id FROM (
                             ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored
 ) WHERE rank <= 10""",
+        # NearDup flagship: exact-Jaccard edges (same integer threshold math
+        # as verify_pairs) ∪ exact-dup edges -> recursive-CTE connected
+        # components; LSH miss probability for a true J>=0.8 pair is ~5e-8
+        # at 32x4 bands, so exact set equality is testable at gate scale.
+        "neardup_clusters": f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 5
+      THEN [array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w) - 3)]
+      ELSE [array_to_string(w, ' ')] END) AS s
+  FROM toks WHERE len(w) > 0
+), inv AS (
+  SELECT doc_id, UNNEST(s) AS g FROM sh
+), cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+  FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), jac AS (
+  SELECT a, b FROM cand
+  JOIN (SELECT doc_id, len(s) AS ns FROM sh) sa ON sa.doc_id = cand.a
+  JOIN (SELECT doc_id, len(s) AS ns FROM sh) sb ON sb.doc_id = cand.b
+  WHERE {jden} * inter >= {jnum} * (sa.ns + sb.ns - inter)
+), ex AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM documents x JOIN documents y ON x.text = y.text AND x.doc_id < y.doc_id
+), alledges AS (
+  SELECT a, b FROM jac UNION SELECT a, b FROM ex
+), sym AS (
+  SELECT a, b FROM alledges UNION SELECT b, a FROM alledges
+), reach(n, m) AS (
+  SELECT a, b FROM sym UNION SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+), comp AS (
+  SELECT n AS node, LEAST(n, MIN(m)) AS component FROM reach GROUP BY n
+)
+SELECT d.doc_id,
+  'https://' || d.source || '.example/page' || d.doc_id AS url,
+  CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS cluster_id,
+  COALESCE(c.component, d.doc_id) <> d.doc_id AS is_duplicate,
+  COALESCE(c.component, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id""",
+        "embedding_cosine_pairs": """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+), n AS (
+  SELECT vec_id, ev, sqrt(list_dot_product(ev, ev)) AS nv FROM v
+), p AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         list_dot_product(x.ev, y.ev) / (x.nv * y.nv) AS cosine
+  FROM n x JOIN n y ON x.vec_id < y.vec_id
+)
+SELECT a, b, CAST(FLOOR(cosine * 1000) AS BIGINT) AS cos_mil
+FROM p WHERE cosine >= 0.5""",
+        # across-similar (main.rs:962-1158): positions of corpus A (even
+        # doc_ids) whose length-100 window also occurs in corpus B (odd)
+        "across_similar_positions": """
+WITH ca AS (
+  SELECT string_agg(text, '' ORDER BY doc_id) AS c FROM documents WHERE doc_id % 2 = 0
+), cb AS (
+  SELECT string_agg(text, '' ORDER BY doc_id) AS c FROM documents WHERE doc_id % 2 = 1
+), wa AS (
+  SELECT i - 1 AS pos, substr(c, i, 100) AS w
+  FROM ca, UNNEST(range(1, strlen(c) - 100 + 2)) t(i)
+), wb AS (
+  SELECT DISTINCT substr(c, i, 100) AS w
+  FROM cb, UNNEST(range(1, strlen(c) - 100 + 2)) t(i)
+)
+SELECT CAST(pos AS BIGINT) AS pos FROM wa WHERE w IN (SELECT w FROM wb)""",
+        # find-training-data: match_len(i) = longest prefix of query[i:]
+        # occurring anywhere in the (separator-free) corpus
+        "find_training_data": """
+WITH corpus AS (
+  SELECT string_agg(text, '' ORDER BY doc_id) AS c FROM documents
+), q AS (
+  SELECT substr(text, 1, 48) || 'QQXXQQXX' AS qs FROM documents WHERE doc_id = 0
+), pos AS (
+  SELECT UNNEST(range(0, (SELECT strlen(qs) FROM q))) AS i
+)
+SELECT CAST(0 AS BIGINT) AS query_id, CAST(p.i AS BIGINT) AS qpos,
+  CAST(COALESCE((
+    SELECT MAX(t.l)
+    FROM q, corpus, UNNEST(range(1, strlen(q.qs) - p.i + 1)) t(l)
+    WHERE position(substr(q.qs, p.i + 1, t.l) IN corpus.c) > 0
+  ), 0) AS BIGINT) AS match_len
+FROM pos p""",
+        # full ExactSubstr splice parity: self-similar dups -> coalesced
+        # ranges -> per-doc clamped gap reconstruction -> sha256 of the
+        # spliced text (byte == char here: gate corpus is pure ASCII)
+        "deduped_docs": """
+WITH corpus AS (
+  SELECT string_agg(text, '' ORDER BY doc_id) AS c FROM documents
+), wins AS (
+  SELECT i - 1 AS pos, substr(c, i, 100) AS w
+  FROM corpus, UNNEST(range(1, strlen(c) - 100 + 2)) t(i)
+), sized AS (
+  SELECT pos, COUNT(*) OVER (PARTITION BY w) AS cnt FROM wins
+), dup AS (
+  SELECT pos FROM sized WHERE cnt >= 2
+), flagged AS (
+  SELECT pos, CASE WHEN LAG(pos) OVER (ORDER BY pos) IS NULL
+                     OR pos > LAG(pos) OVER (ORDER BY pos) + 100
+              THEN 1 ELSE 0 END AS f
+  FROM dup
+), grp AS (
+  SELECT pos, SUM(f) OVER (ORDER BY pos) AS g FROM flagged
+), ranges AS (
+  SELECT MIN(pos) AS rs, MAX(pos) + 100 AS re FROM grp GROUP BY g
+), offs AS (
+  SELECT doc_id, source, text, strlen(text) AS len,
+    COALESCE(SUM(strlen(text)) OVER (ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bs
+  FROM documents
+), dr AS (
+  SELECT o.doc_id, GREATEST(r.rs - o.bs, 0) AS a, LEAST(r.re - o.bs, o.len) AS b
+  FROM offs o JOIN ranges r ON r.rs < o.bs + o.len AND r.re > o.bs
+), gaps AS (
+  SELECT doc_id, COALESCE(LAG(b) OVER (PARTITION BY doc_id ORDER BY a), 0) AS gs,
+         a AS ge
+  FROM dr
+  UNION ALL
+  SELECT o.doc_id,
+         COALESCE((SELECT MAX(b) FROM dr WHERE dr.doc_id = o.doc_id), 0) AS gs,
+         o.len AS ge
+  FROM offs o
+), pieces AS (
+  SELECT g.doc_id, g.gs,
+         substr(o.text, CAST(g.gs + 1 AS BIGINT), CAST(g.ge - g.gs AS BIGINT)) AS seg
+  FROM gaps g JOIN offs o ON o.doc_id = g.doc_id WHERE g.ge > g.gs
+), spliced AS (
+  SELECT doc_id, string_agg(seg, '' ORDER BY gs) AS ded FROM pieces GROUP BY doc_id
+)
+SELECT o.doc_id,
+  'https://' || o.source || '.example/page' || o.doc_id AS url,
+  sha256(COALESCE(s.ded, '')) AS sha
+FROM offs o LEFT JOIN spliced s ON s.doc_id = o.doc_id""",
     }

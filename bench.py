@@ -70,13 +70,37 @@ def q_exactsubstr(spark, sf_dir):
     return deduped.count()
 
 
+INDEX_PATH = "/tmp/spark_graft_bench_sa_index"
+
+
+def q_sa_index_build(spark, sf_dir):
+    """Build-once cost of the persisted suffix-array index (the reference's
+    `make` step, README.md:86) — paid once, amortized over every point
+    query below."""
+    from deduplicate_text_datasets_spark.operators.sa_index import (
+        build_suffix_index,
+        write_suffix_index,
+    )
+
+    write_suffix_index(
+        build_suffix_index(_docs(spark, sf_dir), BENCH_EXACT), INDEX_PATH
+    )
+    return 1
+
+
 def q_count_occurrences(spark, sf_dir):
-    from deduplicate_text_datasets_spark.operators.suffix import count_occurrences
+    """20 point lookups against the prebuilt index (the reference's ~ms
+    count-occurrences, README.md:98) — no per-call SA rebuild."""
+    from deduplicate_text_datasets_spark.operators.sa_index import (
+        count_occurrences_indexed,
+        read_suffix_index,
+    )
 
     docs = _docs(spark, sf_dir)
     rows = docs.filter(F.col("doc_id") < 20).select("doc_id", "text").collect()
     queries = [(int(r["doc_id"]), r["text"][:60].encode()) for r in rows]
-    return count_occurrences(docs, queries, BENCH_EXACT).count()
+    index = read_suffix_index(spark, INDEX_PATH)
+    return count_occurrences_indexed(index, queries).count()
 
 
 def q_simhash(spark, sf_dir):
@@ -110,6 +134,7 @@ def q_textstats(spark, sf_dir):
 HEADLINE = {
     "neardup_clusters": q_neardup,
     "exactsubstr_dedup": q_exactsubstr,
+    "sa_index_build": q_sa_index_build,
     "count_occurrences": q_count_occurrences,
     "simhash_pairs": q_simhash,
     "ann_topk": q_ann_topk,
@@ -155,9 +180,20 @@ def scaling_leg(cores: int, n_docs: int) -> dict:
     total = docs.agg(F.sum(F.octet_length("text") + 6).alias("t")).collect()[0]["t"]
     shard_bytes = auto_shard_bytes(int(total), parallelism=32)
     cfg = dataclasses.replace(BENCH_EXACT, shard_bytes=shard_bytes)
-    warm = _scaling_docs(spark, 400).repartition(64).cache()
-    warm.count()
-    _scaling_job(spark, warm, cfg)  # warmup: worker spawn + JIT
+    # Full-size warmup run: spawns Python workers, JIT-warms the JVM, and —
+    # decisive on this host — faults the worker/JVM allocator arenas to
+    # their working-set size. First-touch page faults are globally
+    # serialized on this VM (BASELINE.md), so a cold timed run measures the
+    # host's fault path, not the engine's scaling; glibc trim tuning keeps
+    # the warmed arenas resident for the timed run.
+    _scaling_job(spark, docs, cfg)
+    # operators persist intermediates (shingles, fingerprints) whose plans
+    # are identical across runs — clear them so the timed run recomputes
+    # the full pipeline honestly, then restore only the input cache
+    spark.catalog.clearCache()
+    docs.unpersist()
+    docs = docs.persist()
+    docs.count()
     t0 = time.time()
     _scaling_job(spark, docs, cfg)
     wall = time.time() - t0
@@ -176,8 +212,8 @@ def run_scaling(sf_dir: str, n_docs: int | None = None) -> dict:
     state from a prior leg otherwise contaminates the timing)."""
     import subprocess
 
-    n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "16000"))
-    leg_timeout = int(os.environ.get("SPARK_GRAFT_SCALING_LEG_TIMEOUT", "600"))
+    n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "12000"))
+    leg_timeout = int(os.environ.get("SPARK_GRAFT_SCALING_LEG_TIMEOUT", "900"))
     out = {}
     for cores in (8, 32):
         try:

@@ -153,25 +153,124 @@ def cosine_topk_lsh(
     )
 
 
+BAND_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("table", T.IntegerType(), False),
+        T.StructField("bucket", T.LongType(), False),
+    ]
+)
+
+
+def lsh_tables_for(threshold: float, bits: int, target_recall: float) -> int:
+    """Number of independent hyperplane tables so a pair at exactly
+    ``threshold`` cosine collides in >= 1 table with prob >= target_recall.
+
+    Per-bit collision prob for cosine c is p = 1 - arccos(c)/pi (random
+    hyperplane LSH, Charikar 2002); a b-bit table collides with p^b; L
+    tables miss with (1 - p^b)^L. This is the OR-amplification the single-
+    table variant lacked (round-1 bug: ~9% recall at c=0.5, nbits=6).
+    """
+    p = 1.0 - np.arccos(min(max(threshold, -1.0), 1.0)) / np.pi
+    pb = p**bits
+    if pb >= 1.0:
+        return 1
+    miss = max(1e-12, 1.0 - target_recall)
+    return max(1, int(np.ceil(np.log(miss) / np.log(1.0 - pb))))
+
+
+def hyperplane_bands(
+    emb: DataFrame, dim: int, tables: int, bits: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, table, bucket): one bucket key per table, from ``tables``
+    independent sets of ``bits`` random hyperplanes (the cosine analogue of
+    MinHash band hashing). One (batch x dim) @ (dim x tables*bits) matmul
+    per Arrow batch; bit-packing per table is vectorized."""
+    rng = np.random.RandomState(ANN_SEED)
+    planes = rng.standard_normal((dim, tables * bits))
+    weights = (1 << np.arange(bits, dtype=np.uint64)).astype(np.uint64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            bits_m = ((m @ planes) >= 0).astype(np.uint64)
+            n = len(pdf)
+            # (n, tables, bits) -> per-table integer bucket, offset by table
+            # index so buckets from different tables never alias
+            packed = (bits_m.reshape(n, tables, bits) * weights[None, None, :]).sum(
+                axis=2
+            )
+            packed = packed + (np.arange(tables, dtype=np.uint64) << np.uint64(bits))[
+                None, :
+            ]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), tables),
+                    "table": np.tile(
+                        np.arange(tables, dtype=np.int32), n
+                    ),
+                    "bucket": packed.astype(np.int64).ravel(),
+                }
+            )
+
+    return emb.select("vec_id", vec_col).mapInPandas(kernel, BAND_SCHEMA)
+
+
 def cosine_pairs(
     emb: DataFrame,
     dim: int,
     threshold: float = 0.9,
-    nbits: int = 8,
+    method: str = "lsh",
+    tables: int | None = None,
+    bits: int = 4,
+    target_recall: float = 0.99999,
     vec_col: str = "embedding",
-    max_bucket_size: int = 10000,
+    max_bucket_size: int = 100_000,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within LSH buckets:
-    (a, b, cosine >= threshold). Bucket-size cap mirrors the MinHash skew
-    guard."""
-    u = with_unit_vectors(emb, vec_col)
-    b = hyperplane_buckets(emb, dim, nbits, vec_col)
-    sized = b.withColumn(
-        "bsize", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
-    ).filter(F.col("bsize") <= max_bucket_size)
-    left = sized.select("bucket", F.col("vec_id").alias("a"))
-    right = sized.select("bucket", F.col("vec_id").alias("b"))
-    pairs = left.join(right, "bucket").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    """Embedding-cosine near-duplicate pairs: (a, b, cos_mil) with cosine
+    >= threshold; cos_mil = floor(cosine * 1000) (integer — keeps the
+    driver's value hash float-free).
+
+    method='lsh' (scale path): banded multi-table hyperplane LSH — union of
+    candidates over ``tables`` independent bit-tables (OR-amplification),
+    sized via ``lsh_tables_for`` so recall at the threshold is
+    ``target_recall``; every candidate is exactly verified by a JVM-side
+    dot product on pre-normalized vectors, so false positives are
+    impossible and the only approximation is the sized LSH miss rate.
+
+    method='exact': all-pairs verification (a<b crossJoin) — the oracle
+    path for small vector sets and the correctness baseline for recall
+    tests.
+    """
+    u = with_unit_vectors(emb, vec_col).select("vec_id", "unit")
+    if method == "exact":
+        pairs = (
+            u.select(F.col("vec_id").alias("a"))
+            .crossJoin(u.select(F.col("vec_id").alias("b")))
+            .filter(F.col("a") < F.col("b"))
+        )
+    elif method == "lsh":
+        if tables is None:
+            tables = lsh_tables_for(threshold, bits, target_recall)
+        b = hyperplane_bands(emb, dim, tables, bits, vec_col)
+        sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsize"))
+        sized = b.join(
+            sizes.filter(
+                (F.col("bsize") >= 2) & (F.col("bsize") <= max_bucket_size)
+            ),
+            "bucket",
+        )
+        pairs = (
+            sized.select("bucket", F.col("vec_id").alias("a"))
+            .join(sized.select("bucket", F.col("vec_id").alias("b")), "bucket")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+    else:
+        raise ValueError(f"unknown method {method!r} (want 'lsh' or 'exact')")
     ua = u.select(F.col("vec_id").alias("a"), F.col("unit").alias("ua"))
     ub = u.select(F.col("vec_id").alias("b"), F.col("unit").alias("ub"))
     return (
@@ -179,5 +278,7 @@ def cosine_pairs(
         .join(ub, "b")
         .withColumn("cosine", _dot("ua", "ub"))
         .filter(F.col("cosine") >= threshold)
-        .select("a", "b", F.round("cosine", 6).alias("cosine"))
+        .select(
+            "a", "b", F.floor(F.col("cosine") * 1000).cast("long").alias("cos_mil")
+        )
     )

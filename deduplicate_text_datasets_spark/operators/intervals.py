@@ -46,9 +46,10 @@ def coalesce_positions(positions: DataFrame, length: int) -> DataFrame:
              the distributed analogue of the reference's parallel sort +
              heap merge), then a vectorized per-partition fold.
     Stage 2: per-partition range lists are already maximal except at
-             partition seams; ranges are far fewer than positions, so the
-             seam-merge pass (union_intervals, adjacency gap 0) runs over a
-             small frame.
+             partition seams; the seam merge is the hierarchical
+             ``_merge_sorted_partitions`` pass — no global-order window,
+             so a C4-scale remove list (millions of ranges) never funnels
+             through one partition.
     """
     parts = positions.select(F.col("pos").cast("long")).repartitionByRange(
         "pos"
@@ -62,7 +63,122 @@ def coalesce_positions(positions: DataFrame, length: int) -> DataFrame:
         yield pd.DataFrame({"start": ranges[:, 0], "end": ranges[:, 1]})
 
     local = parts.mapInPandas(fold, RANGE_SCHEMA)
-    return union_intervals(local, adjacency=True)
+    return _merge_sorted_partitions(local, adjacency=True, gap=0)
+
+
+def _local_merge(arr: np.ndarray, adjacency: bool, gap: int) -> np.ndarray:
+    """Vectorized in-memory interval union of a (k, 2) array sorted by
+    (start, end): new group where start exceeds the running max end (+gap).
+    """
+    if len(arr) == 0:
+        return arr
+    prev_max = np.maximum.accumulate(arr[:, 1])
+    flag = np.empty(len(arr), dtype=bool)
+    flag[0] = True
+    if adjacency:
+        flag[1:] = arr[1:, 0] > prev_max[:-1] + gap
+    else:
+        flag[1:] = arr[1:, 0] >= prev_max[:-1] + gap
+    gid = np.cumsum(flag) - 1
+    starts = arr[flag, 0]
+    ends = np.maximum.reduceat(arr[:, 1], np.nonzero(flag)[0])
+    return np.stack([starts, ends], axis=1)[: gid[-1] + 1]
+
+
+def _merge_sorted_partitions(
+    ranges: DataFrame, adjacency: bool, gap: int
+) -> DataFrame:
+    """Interval union of a frame whose partitions are range-ordered by
+    ``start`` and sorted within each partition — WITHOUT a global-order
+    window (the round-1 seam pass moved every range to one partition,
+    VERDICT #5). Hierarchical, same pattern as corpus.with_offsets:
+
+      1. per-partition vectorized local merge (mapInPandas), emitting each
+         partition's running-max-so-far alongside;
+      2. per-partition max-end totals -> cumulative prefix max over the
+         tiny (#partitions-row) stats frame;
+      3. per-row new-group flag from (local running max ⊔ previous
+         partitions' max); group ids = local cumsum + broadcast per-
+         partition flag-count offsets;
+      4. groupBy(group).agg(min(start), max(end)).
+
+    Only the #partitions-row stats frames ever pass through a single-
+    partition window.
+    """
+    merged_schema = T.StructType(
+        [
+            T.StructField("pid", T.IntegerType(), False),
+            T.StructField("rn", T.LongType(), False),
+            T.StructField("start", T.LongType(), False),
+            T.StructField("end", T.LongType(), False),
+            T.StructField("lmax_prev", T.LongType(), True),
+        ]
+    )
+
+    def local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        chunks = [
+            pdf[["start", "end"]].to_numpy(dtype=np.int64)
+            for pdf in batches
+            if len(pdf)
+        ]
+        if not chunks:
+            return
+        m = _local_merge(np.concatenate(chunks), adjacency, gap)
+        lmax_prev = np.empty(len(m), dtype=object)
+        lmax_prev[0] = None
+        if len(m) > 1:
+            lmax_prev[1:] = np.maximum.accumulate(m[:-1, 1])
+        yield pd.DataFrame(
+            {
+                "pid": np.int32(pid),
+                "rn": np.arange(len(m), dtype=np.int64),
+                "start": m[:, 0],
+                "end": m[:, 1],
+                "lmax_prev": lmax_prev,
+            }
+        )
+
+    p = ranges.mapInPandas(local, merged_schema)
+    stats = p.groupBy("pid").agg(
+        F.max("end").alias("_pmax"), F.sum(F.lit(1)).alias("_cnt")
+    )
+    w_prev = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    stats = stats.withColumn("_pmax_prev", F.max("_pmax").over(w_prev))
+
+    p = p.join(F.broadcast(stats.select("pid", "_pmax_prev")), "pid")
+    prev_all = F.when(
+        F.col("lmax_prev").isNull(), F.col("_pmax_prev")
+    ).otherwise(
+        F.greatest(F.col("lmax_prev"), F.coalesce("_pmax_prev", "lmax_prev"))
+    )
+    cmp = (
+        F.col("start") <= prev_all + F.lit(gap)
+        if adjacency
+        else F.col("start") < prev_all + F.lit(gap)
+    )
+    p = p.withColumn(
+        "_flag",
+        F.when(prev_all.isNull() | ~cmp, F.lit(1)).otherwise(F.lit(0)),
+    )
+    w_in = Window.partitionBy("pid").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    p = p.withColumn("_lgrp", F.sum("_flag").over(w_in))
+    fstats = p.groupBy("pid").agg(F.sum("_flag").alias("_fn"))
+    fstats = fstats.withColumn(
+        "_foff", F.coalesce(F.sum("_fn").over(w_prev), F.lit(0))
+    )
+    p = p.join(F.broadcast(fstats.select("pid", "_foff")), "pid").withColumn(
+        "_grp", F.col("_foff") + F.col("_lgrp")
+    )
+    return (
+        p.groupBy("_grp")
+        .agg(F.min("start").alias("start"), F.max("end").alias("end"))
+        .select("start", "end")
+    )
 
 
 def union_intervals(
@@ -71,39 +187,16 @@ def union_intervals(
     """Merge overlapping (and, if ``adjacency``, exactly-touching) intervals
     into maximal [start, end) ranges.
 
-    Classic running-max sessionization: sort by start, a new group begins
-    where start exceeds the running max of previous ends (+gap). Uses a
-    global-ordered window — intended for already-reduced range frames
-    (post-coalesce seams, remove-lists), which are orders of magnitude
-    smaller than position frames. For huge range sets, call
-    coalesce-style two-level reduction first.
+    Range-repartition + in-partition sort, then the hierarchical
+    ``_merge_sorted_partitions`` pass — scales to arbitrarily large range
+    frames (no global-order window anywhere).
     """
-    w = Window.orderBy("start", "end").rowsBetween(
-        Window.unboundedPreceding, -1
+    parts = (
+        ranges.select(F.col("start").cast("long"), F.col("end").cast("long"))
+        .repartitionByRange("start", "end")
+        .sortWithinPartitions("start", "end")
     )
-    cmp = F.col("start") <= F.col("prev_max_end") + F.lit(gap) if adjacency else (
-        F.col("start") < F.col("prev_max_end") + F.lit(gap)
-    )
-    flagged = (
-        ranges.withColumn("prev_max_end", F.max("end").over(w))
-        .withColumn(
-            "new_grp",
-            F.when(F.col("prev_max_end").isNull() | ~cmp, F.lit(1)).otherwise(
-                F.lit(0)
-            ),
-        )
-        .withColumn(
-            "grp",
-            F.sum("new_grp").over(
-                Window.orderBy("start", "end").rowsBetween(
-                    Window.unboundedPreceding, 0
-                )
-            ),
-        )
-    )
-    return flagged.groupBy("grp").agg(
-        F.min("start").alias("start"), F.max("end").alias("end")
-    ).select("start", "end")
+    return _merge_sorted_partitions(parts, adjacency=adjacency, gap=gap)
 
 
 def interval_join(
@@ -120,12 +213,13 @@ def interval_join(
     exact-overlap filtered — shuffle ~ data size, and Catalyst can still
     broadcast the (usually small) ranges side.
     """
+    # long `div` (not floor(double /)): chunk ids stay exact past 2^53
     r = ranges.withColumn(
         "chunk",
         F.explode(
             F.sequence(
-                F.floor(F.col("start") / chunk_bytes),
-                F.floor((F.col("end") - 1) / chunk_bytes),
+                F.expr(f"start div {chunk_bytes}"),
+                F.expr(f"(`end` - 1) div {chunk_bytes}"),
             )
         ),
     )
@@ -133,8 +227,8 @@ def interval_join(
         "chunk",
         F.explode(
             F.sequence(
-                F.floor(F.col("byte_start") / chunk_bytes),
-                F.floor((F.col("byte_end") - 1) / chunk_bytes),
+                F.expr(f"byte_start div {chunk_bytes}"),
+                F.expr(f"(byte_end - 1) div {chunk_bytes}"),
             )
         ),
     )

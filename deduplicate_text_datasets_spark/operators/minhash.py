@@ -24,7 +24,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -132,12 +132,22 @@ def candidate_pairs(buckets: DataFrame, cfg: MinHashConfig) -> DataFrame:
 
     Bucket-size cap: the per-bucket pair blow-up is quadratic, so buckets
     above max_bucket_size are excluded (count observable via
-    ``oversized_buckets``). The min-side join stays shuffle-local on the
-    (band, bucket) key; output deduped across bands.
+    ``oversized_buckets``). Sizing is a groupBy (map-side partial agg — a
+    boilerplate bucket with 10^8 members contributes one row per mapper,
+    not 10^8 rows to one reducer) joined back onto the bucket frame; the
+    filtered size frame is small enough for AQE to broadcast, and if not,
+    AQE skew-join splitting applies — neither holds for a WindowExec
+    partition, which is why this is not a count-over-window.
     """
-    sized = buckets.withColumn(
-        "bsize", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-    ).filter((F.col("bsize") >= 2) & (F.col("bsize") <= cfg.max_bucket_size))
+    sizes = buckets.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("bsize")
+    )
+    sized = buckets.join(
+        sizes.filter(
+            (F.col("bsize") >= 2) & (F.col("bsize") <= cfg.max_bucket_size)
+        ),
+        ["band", "bucket"],
+    )
     left = sized.select("band", "bucket", F.col("doc_id").alias("a"))
     right = sized.select("band", "bucket", F.col("doc_id").alias("b"))
     return (
@@ -157,14 +167,22 @@ def oversized_buckets(buckets: DataFrame, cfg: MinHashConfig) -> DataFrame:
     )
 
 
-def verify_pairs(
-    pairs: DataFrame, shingled: DataFrame, cfg: MinHashConfig
+def verify_pairs_across(
+    pairs: DataFrame,
+    shingled_a: DataFrame,
+    shingled_b: DataFrame,
+    cfg: MinHashConfig,
 ) -> DataFrame:
-    """Exact-Jaccard verification of candidate pairs on the true shingle
-    sets (removes LSH false positives): edges(a, b, inter, union, jaccard).
-    """
-    sa = shingled.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
-    sb = shingled.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    """Two-sided exact-Jaccard verification: side ``a`` ids resolve against
+    ``shingled_a`` ONLY and side ``b`` against ``shingled_b`` — the two
+    frames may use overlapping doc_id spaces (e.g. a new crawl batch vs a
+    persisted index) without cross-contamination."""
+    from fractions import Fraction
+
+    frac = Fraction(cfg.jaccard_threshold).limit_denominator(1_000_000)
+    num, den = frac.numerator, frac.denominator
+    sa = shingled_a.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    sb = shingled_b.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
     j = (
         pairs.join(sa, "a")
         .join(sb, "b")
@@ -177,16 +195,41 @@ def verify_pairs(
         .withColumn("union", F.col("sz") - F.col("inter"))
         .withColumn("jaccard", F.col("inter") / F.col("union"))
     )
-    return j.filter(F.col("jaccard") >= cfg.jaccard_threshold).select(
-        "a", "b", "inter", "union", "jaccard"
-    )
+    return j.filter(
+        F.col("inter") * F.lit(den) >= F.lit(num) * F.col("union")
+    ).select("a", "b", "inter", "union", "jaccard")
+
+
+def verify_pairs(
+    pairs: DataFrame, shingled: DataFrame, cfg: MinHashConfig
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs on the true shingle
+    sets (removes LSH false positives): edges(a, b, inter, union, jaccard).
+
+    The threshold test is exact integer arithmetic (inter * den >= num *
+    union with num/den the rational form of the threshold), so a pair at
+    exactly the threshold cannot flip on float rounding — the DuckDB
+    cluster oracle uses the same integer comparison.
+    """
+    return verify_pairs_across(pairs, shingled, shingled, cfg)
 
 
 def near_duplicate_edges(
     docs: DataFrame, cfg: MinHashConfig, text_col: str = "text"
 ) -> DataFrame:
-    """documents -> verified near-duplicate edges (a, b, jaccard)."""
-    shingled = doc_shingles(docs, cfg, text_col)
+    """documents -> verified near-duplicate edges (a, b, jaccard).
+
+    ``shingled`` is persisted: it feeds the signature path AND both sides
+    of the Jaccard verify, and tokenize+shingle is the most expensive
+    Catalyst stage of the pipeline — uncached it re-executes >= 3x
+    (measured as the dominant cost of the round-1 bench). MEMORY_AND_DISK
+    so an executor that can't hold its slice spills instead of recomputing.
+    """
+    from pyspark import StorageLevel
+
+    shingled = doc_shingles(docs, cfg, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sigs = minhash_signatures(shingled, cfg)
     pairs = candidate_pairs(lsh_buckets(sigs, cfg), cfg)
     return verify_pairs(pairs, shingled, cfg)

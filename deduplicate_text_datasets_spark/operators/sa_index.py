@@ -1,0 +1,233 @@
+"""Persisted per-shard suffix-array index: build once, point-query cheaply.
+
+Reference parity: ``make`` builds ``<data>.table.bin`` once (README.md:86,
+~1 min for wiki40b/test) and every later ``count-occurrences`` answers from
+the prebuilt index in ~ms (README.md:98; cmd_count_occurrences mmaps the
+existing table, main.rs:638-655 — it never rebuilds). The round-1 engine
+had no persisted index: every point query re-ran suffix_array() over every
+shard. This module is the missing build-once artifact.
+
+Layout — one parquet row per shard:
+
+    suffix_index(shard_id long, lo long, own_hi long,
+                 buf binary, sa binary)
+
+``buf`` is the shard's corpus bytes including the trailing overlap
+(HACKSIZE design, make_suffix_array.py:23,47); ``sa`` is the suffix array
+of ``buf`` as little-endian int64 — the reference's width-compressed
+pointer encoding (ceil(log2 n / 8) bytes, main.rs:571) is delegated to
+parquet's bit-packing + dictionary/zstd encoding, which achieves the same
+effect without custom (de)serializers.
+
+Scale note: a row carries ~9 bytes per corpus byte (text + 8-byte SA), so
+``shard_bytes`` bounds the Arrow batch per row. Index builds should use
+shard_bytes <= 32 MiB (~300 MB/row) to stay well inside Arrow/parquet
+single-cell limits; queries stream one row at a time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import ExactSubstrConfig
+from ..sources.corpus import (
+    assemble_shard_buffer,
+    assign_shards,
+    corpus_total_bytes,
+    with_offsets,
+)
+from .suffix import (
+    MATCH_LEN_SCHEMA,
+    POSITIONS_SCHEMA,
+    QUERY_HITS_SCHEMA,
+    _lcp,
+    _sa_compare,
+    _sa_range,
+    suffix_array,
+)
+
+SA_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType(), False),
+        T.StructField("lo", T.LongType(), False),
+        T.StructField("own_hi", T.LongType(), False),
+        T.StructField("buf", T.BinaryType(), False),
+        T.StructField("sa", T.BinaryType(), False),
+    ]
+)
+
+
+def build_suffix_index(
+    docs: DataFrame, cfg: ExactSubstrConfig, total: int | None = None
+) -> DataFrame:
+    """documents -> suffix_index frame (one row per shard).
+
+    The expensive part (per-shard SA construction) runs exactly once here;
+    every query operator below is a binary search over the stored arrays.
+    """
+    if "byte_start" not in docs.columns:
+        docs = with_offsets(docs, cfg.with_separators)
+    if total is None:
+        total = corpus_total_bytes(docs)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = int(pdf["shard_id"].iloc[0])
+        lo, buf = assemble_shard_buffer(
+            pdf, cfg.shard_bytes, cfg.overlap_bytes, total, cfg.with_separators
+        )
+        sa = suffix_array(buf)
+        return pd.DataFrame(
+            {
+                "shard_id": [s],
+                "lo": [lo],
+                "own_hi": [min((s + 1) * cfg.shard_bytes, total)],
+                "buf": [buf.tobytes()],
+                "sa": [sa.astype("<i8").tobytes()],
+            }
+        )
+
+    shards = assign_shards(docs, cfg.shard_bytes, cfg.overlap_bytes)
+    return (
+        shards.select("shard_id", "doc_id", "byte_start", "text")
+        .groupBy("shard_id")
+        .applyInPandas(kernel, SA_INDEX_SCHEMA)
+    )
+
+
+def write_suffix_index(index: DataFrame, path: str) -> None:
+    """Persist the index (the engine's ``.table.bin`` analogue)."""
+    index.write.mode("overwrite").parquet(path)
+
+
+def read_suffix_index(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def _iter_shards(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[tuple[int, int, np.ndarray, np.ndarray]]:
+    for pdf in batches:
+        for lo, own_hi, buf_b, sa_b in zip(
+            pdf["lo"], pdf["own_hi"], pdf["buf"], pdf["sa"]
+        ):
+            yield (
+                int(lo),
+                int(own_hi),
+                np.frombuffer(buf_b, dtype=np.uint8),
+                np.frombuffer(sa_b, dtype="<i8"),
+            )
+
+
+def count_occurrences_indexed(
+    index: DataFrame, queries: list[tuple[int, bytes]]
+) -> DataFrame:
+    """Point lookup against a prebuilt index (main.rs:623-672 semantics:
+    overlapping occurrences, owned-start ownership). Returns
+    (query_id, count, first_pos); absent queries report count 0."""
+    qarr = [(int(qid), np.frombuffer(q, dtype=np.uint8)) for qid, q in queries]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for lo, own_hi, buf, sa in _iter_shards(batches):
+            for qid, q in qarr:
+                if len(q) == 0:
+                    continue
+                first, last = _sa_range(buf, sa, q)
+                if last <= first:
+                    continue
+                starts = sa[first:last] + lo
+                owned = starts[starts < own_hi]
+                if len(owned) == 0:
+                    continue
+                rows.append((qid, int(len(owned)), int(owned.min())))
+        yield pd.DataFrame(
+            rows, columns=["query_id", "cnt", "first_pos"]
+        ).astype({"query_id": "int64", "cnt": "int64", "first_pos": "int64"})
+
+    hits = index.mapInPandas(kernel, QUERY_HITS_SCHEMA)
+    counts = hits.groupBy("query_id").agg(
+        F.sum("cnt").alias("count"), F.min("first_pos").alias("first_pos")
+    )
+    spark = index.sparkSession
+    qdf = spark.createDataFrame(
+        [(qid, bytes(q)) for qid, q in queries], "query_id long, query binary"
+    )
+    return qdf.join(counts, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("count"), F.lit(0)).alias("count"),
+        "first_pos",
+    )
+
+
+def find_positions_indexed(
+    index: DataFrame, queries: list[tuple[int, bytes]]
+) -> DataFrame:
+    """All owned occurrence positions per query (table.rs:250-307), from
+    the prebuilt index."""
+    qarr = [(int(qid), np.frombuffer(q, dtype=np.uint8)) for qid, q in queries]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_q: list[int] = []
+        out_p: list[int] = []
+        for lo, own_hi, buf, sa in _iter_shards(batches):
+            for qid, q in qarr:
+                if len(q) == 0:
+                    continue
+                first, last = _sa_range(buf, sa, q)
+                starts = sa[first:last] + lo
+                owned = starts[starts < own_hi]
+                out_q.extend([qid] * len(owned))
+                out_p.extend(owned.tolist())
+        yield pd.DataFrame({"query_id": out_q, "pos": out_p}).astype(
+            {"query_id": "int64", "pos": "int64"}
+        )
+
+    return index.mapInPandas(kernel, POSITIONS_SCHEMA)
+
+
+def find_training_data_indexed(
+    index: DataFrame,
+    queries: list[tuple[int, bytes]],
+    probe_cap: int = 65536,
+    step: int = 1,
+) -> DataFrame:
+    """find-training-data (main.rs:730-805) against the prebuilt index:
+    per query offset, the longest common prefix with any indexed suffix."""
+    qarr = [(int(qid), np.frombuffer(q, dtype=np.uint8)) for qid, q in queries]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_q: list[int] = []
+        out_p: list[int] = []
+        out_l: list[int] = []
+        for _lo, _own_hi, buf, sa in _iter_shards(batches):
+            for qid, q in qarr:
+                for i in range(0, len(q), step):
+                    probe = q[i : i + probe_cap]
+                    loi, hii = 0, len(sa)
+                    while loi < hii:
+                        mid = (loi + hii) // 2
+                        if _sa_compare(buf, sa[mid], probe) < 0:
+                            loi = mid + 1
+                        else:
+                            hii = mid
+                    best = 0
+                    for j in (loi - 1, loi):
+                        if 0 <= j < len(sa):
+                            best = max(best, _lcp(buf[sa[j] :], probe))
+                    out_q.append(qid)
+                    out_p.append(i)
+                    out_l.append(best)
+        yield pd.DataFrame(
+            {"query_id": out_q, "qpos": out_p, "match_len": out_l}
+        ).astype({"query_id": "int64", "qpos": "int64", "match_len": "int64"})
+
+    per_shard = index.mapInPandas(kernel, MATCH_LEN_SCHEMA)
+    return per_shard.groupBy("query_id", "qpos").agg(
+        F.max("match_len").alias("match_len")
+    )

@@ -149,40 +149,122 @@ def find_duplicates(fingerprints: DataFrame, cfg: ExactSubstrConfig) -> DataFram
     window fingerprint; clusters of size >= 2 (and > frequency_threshold,
     main.rs:914) are duplicates.
 
-    Plan shape: ONE shuffle on (h1, h2), then a window aggregate over the
-    exchange — every position keeps its row while (count, min) attach to
-    it. The groupBy + join-back alternative shuffles the fingerprint frame
-    twice and re-runs the shard kernels unless cached (measured 14x slower
-    at bench scale). A hot window (boilerplate repeated millions of times)
-    makes one large sort group; WindowExec spills via the external sorter,
-    and ``frequency_threshold`` post-filters it like the reference.
+    Plan shape: groupBy(h1, h2) with map-side partial aggregation
+    (count+min combine before the exchange, so the paper's 60,000x-repeated
+    C4 boilerplate window — README.md:10 — contributes one row per mapper,
+    not 10^8 rows to one reducer), then the filtered duplicate-key stats
+    join back onto the fingerprint frame. The join's hot keys are split by
+    AQE skew-join handling; the round-1 count-over-window variant pinned
+    every member of a hot window in one unsplittable WindowExec partition.
+
+    ``fingerprints`` is consumed twice (agg + join-back) — callers must
+    persist it or the shard fingerprint kernels re-run (see self_similar).
 
     Returns duplicates(pos, cluster_id, cluster_size), cluster_id = min
     member position (deterministic; reference numbering is order-dependent
     so we fix min-member, SURVEY.md §7).
     """
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("h1", "h2")
-    return (
-        fingerprints.select(
-            "pos",
-            F.count(F.lit(1)).over(w).alias("cluster_size"),
-            F.min("pos").over(w).alias("cluster_id"),
+    stats = (
+        fingerprints.groupBy("h1", "h2")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("pos").alias("cluster_id"),
         )
         .filter(
             (F.col("cluster_size") >= 2)
             & (F.col("cluster_size") > cfg.frequency_threshold)
         )
-        .select("pos", "cluster_id", "cluster_size")
+    )
+    return fingerprints.join(stats, ["h1", "h2"]).select(
+        "pos", "cluster_id", "cluster_size"
     )
 
 
 def self_similar(
     docs: DataFrame, cfg: ExactSubstrConfig, total: int | None = None
 ) -> DataFrame:
-    """documents -> duplicates(pos, cluster_id, cluster_size)."""
-    return find_duplicates(window_fingerprints(docs, cfg, total), cfg)
+    """documents -> duplicates(pos, cluster_id, cluster_size).
+
+    The fingerprint frame is persisted (MEMORY_AND_DISK): find_duplicates
+    reads it twice, and without the persist the per-shard rolling-hash
+    kernels re-execute for the second read.
+    """
+    from pyspark import StorageLevel
+
+    fp = window_fingerprints(docs, cfg, total).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return find_duplicates(fp, cfg)
+
+
+CLUSTER_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("cluster_id", T.LongType(), False),
+        T.StructField("cluster_size", T.LongType(), False),
+        T.StructField("sample", T.BinaryType(), False),
+    ]
+)
+
+
+def cluster_samples(
+    docs_with_offsets: DataFrame,
+    duplicates: DataFrame,
+    cfg: ExactSubstrConfig,
+) -> DataFrame:
+    """``--only_save_one`` parity (main.rs:130, 915-919): instead of every
+    duplicate position, emit the matched length-L byte sequence once per
+    cluster — (cluster_id, cluster_size, sample).
+
+    The sample is read at the cluster head (min member position; the
+    reference dumps the run's shared prefix, which is identical at every
+    member). Extraction is an interval join of the head windows against
+    the doc offsets plus a per-cluster byte-assembly kernel — the window
+    may straddle documents (or contain separator bytes), exactly like the
+    reference's raw corpus reads.
+    """
+    from ..sources.corpus import doc_payload
+    from .intervals import interval_join
+
+    L = cfg.length_threshold
+    heads = duplicates.groupBy("cluster_id").agg(
+        F.max("cluster_size").alias("cluster_size")
+    )
+    ranges = heads.select(
+        F.col("cluster_id").alias("start"),
+        (F.col("cluster_id") + L).alias("end"),
+        "cluster_size",
+    )
+    hit = interval_join(ranges, docs_with_offsets)
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        start = int(pdf["start"].iloc[0])
+        end = int(pdf["end"].iloc[0])
+        buf = np.zeros(end - start, dtype=np.uint8)
+        for doc_id, byte_start, text in zip(
+            pdf["doc_id"], pdf["byte_start"], pdf["text"]
+        ):
+            payload = doc_payload(int(doc_id), text, cfg.with_separators)
+            ds, de = int(byte_start), int(byte_start) + len(payload)
+            a, b = max(ds, start), min(de, end)
+            if b > a:
+                buf[a - start : b - start] = np.frombuffer(
+                    payload, dtype=np.uint8
+                )[a - ds : b - ds]
+        return pd.DataFrame(
+            {
+                "cluster_id": [start],
+                "cluster_size": [int(pdf["cluster_size"].iloc[0])],
+                "sample": [buf.tobytes()],
+            }
+        )
+
+    return (
+        hit.select(
+            "start", "end", "cluster_size", "doc_id", "byte_start", "text"
+        )
+        .groupBy("start")
+        .applyInPandas(lambda pdf: assemble(pdf), CLUSTER_SAMPLE_SCHEMA)
+    )
 
 
 def across_similar(

@@ -75,12 +75,19 @@ def exactsubstr_dedup(
     One Spark job graph: offsets -> overlap shards -> window fingerprints ->
     global cluster groupBy -> coalesce -> interval join -> strike.
     """
+    from pyspark import StorageLevel
+
     d = with_offsets(docs, cfg.exact.with_separators)
     d = d.cache()
     total = corpus_total_bytes(d)
 
     def build_dups() -> DataFrame:
-        return self_similar(d, cfg.exact, total)
+        # persisted: coalesce_positions' repartitionByRange runs a sampling
+        # job over its input before the real exchange — uncached, that
+        # sampling pass re-executes the shard fingerprint kernels end to end
+        return self_similar(d, cfg.exact, total).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
 
     dups = store.stage("exactsubstr_dups", build_dups) if store else build_dups()
 
@@ -111,13 +118,21 @@ def across_dedup(
     returns (dups_a, remove_ranges_a, deduped_a) where dups_a are the
     positions of A whose length-L window also occurs in B.
     """
+    from pyspark import StorageLevel
+
     from ..operators.suffix import across_similar, window_fingerprints
     from ..sources.corpus import corpus_total_bytes, with_offsets
 
     da = with_offsets(docs_a, cfg.exact.with_separators).cache()
     db = with_offsets(docs_b, cfg.exact.with_separators).cache()
-    fp_a = window_fingerprints(da, cfg.exact, corpus_total_bytes(da))
-    fp_b = window_fingerprints(db, cfg.exact, corpus_total_bytes(db))
+    # each fingerprint frame feeds both the distinct-keys side and the
+    # semi-join probe side — persist or the shard kernels run twice per side
+    fp_a = window_fingerprints(da, cfg.exact, corpus_total_bytes(da)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    fp_b = window_fingerprints(db, cfg.exact, corpus_total_bytes(db)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     dups_a, _ = across_similar(fp_a, fp_b, cfg.exact)
     ranges_a = coalesce_positions(dups_a, cfg.exact.length_threshold)
     deduped_a = apply_removals(da, ranges_a, cfg.exact)

@@ -53,7 +53,9 @@ def with_offsets(docs: DataFrame, with_separators: bool = True) -> DataFrame:
         "doc_id",
         (F.octet_length("text") + F.lit(sep)).cast("long").alias("doc_len"),
     )
-    lens = lens.withColumn("_block", F.floor(F.col("doc_id") / BLOCK_DOCS))
+    # integer `div`, not floor(double /): double division loses exactness
+    # past 2^53 and doc counts are designed for 10^12
+    lens = lens.withColumn("_block", F.expr(f"doc_id div {BLOCK_DOCS}"))
     w_in = (
         Window.partitionBy("_block")
         .orderBy("doc_id")
@@ -107,14 +109,19 @@ def assign_shards(
     Replication overhead ~ overlap/shard_bytes (~0.002% at 64 MiB/1 KiB).
     """
     S, O = shard_bytes, overlap_bytes
+    # long `div` keeps shard math exact at petabyte offsets (double-based
+    # floor(col/S) loses integer exactness past 2^53 ≈ 9 PB). The possibly
+    # negative (byte_start - O) truncates toward zero under div, but the
+    # greatest(0, ·) clamp makes floor- and zero-truncation agree here.
     return docs_with_offsets.withColumn(
         "shard_id",
         F.explode(
             F.sequence(
                 F.greatest(
-                    F.lit(0), F.floor((F.col("byte_start") - O) / S)
-                ).cast("long"),
-                F.floor((F.col("byte_end") - 1) / S).cast("long"),
+                    F.lit(0).cast("long"),
+                    F.expr(f"(byte_start - {O}) div {S}"),
+                ),
+                F.expr(f"(byte_end - 1) div {S}"),
             )
         ),
     )

@@ -46,6 +46,47 @@ DOCUMENTS_SCHEMA = T.StructType(
 )
 
 
+def assign_dense_ids(
+    df: DataFrame, order_col: str | None = None, id_col: str = "doc_id"
+) -> DataFrame:
+    """Dense 0-based ``id_col`` without a global single-partition sort.
+
+    A bare ``row_number().over(Window.orderBy(...))`` funnels the whole
+    table through one task — a non-starter at 10^12 docs. Instead: rank
+    within each partition (parallel windows keyed by partition id) and
+    offset by the cumulative per-partition counts — the same hierarchical
+    pattern as corpus.with_offsets. The partition-count frame is tiny
+    (#partitions rows) and its cumulative window is the only serial step.
+    Catalyst's ReuseExchange serves the two reads of the ranked frame from
+    one shuffle write.
+
+    order_col given  -> ids follow the global sort order of that column
+                        (repartitionByRange + in-partition rank).
+    order_col=None   -> ids follow input order (partition id + row order,
+                        the reference's sequential uid, load_dataset.py:58).
+    """
+    if order_col is not None:
+        p = df.repartitionByRange(F.col(order_col)).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+        w_in = Window.partitionBy("_pid").orderBy(order_col)
+    else:
+        p = df.withColumn("_pid", F.spark_partition_id()).withColumn(
+            "_mid", F.monotonically_increasing_id()
+        )
+        w_in = Window.partitionBy("_pid").orderBy("_mid")
+    p = p.withColumn("_rk", F.row_number().over(w_in).cast("long") - 1)
+    counts = p.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_p = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_p), F.lit(0))
+    ).select("_pid", "_off")
+    out = p.join(F.broadcast(offs), "_pid").withColumn(
+        id_col, (F.col("_off") + F.col("_rk")).cast("long")
+    )
+    return out.drop("_pid", "_rk", "_off", "_mid")
+
+
 def read_documents(spark: SparkSession, path: str) -> DataFrame:
     """Read a documents table (canonical or driver-test shape) into the
     canonical frame ordered/keyed by ``doc_id``.
@@ -56,17 +97,16 @@ def read_documents(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     # Small test files arrive as one row-group => one partition => every
     # downstream kernel runs on one core. Fan out when the scan produced
-    # fewer splits than the cluster width; a no-op at web scale where the
-    # file listing already yields >= parallelism splits.
+    # fewer files than the cluster width; a no-op at web scale where the
+    # file listing already yields >= parallelism splits. (inputFiles is a
+    # driver-side listing — no RDD conversion, unlike rdd.getNumPartitions.)
     want = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
+    if len(df.inputFiles()) < want:
         df = df.repartition(want)
     cols = set(df.columns)
     if {"url", "text"} <= cols:
         if "doc_id" not in cols:
-            df = df.withColumn(
-                "doc_id", F.row_number().over(Window.orderBy("url")).cast("long") - 1
-            )
+            df = assign_dense_ids(df, order_col="url")
         return df.select("doc_id", "url", "warc_ts", "html", "text", "lang")
     # driver-test shape (doc_id, text, lang, source, n_chars)
     return df.select(
@@ -220,10 +260,8 @@ def read_text_corpus(spark: SparkSession, path: str, fmt: str = "auto") -> DataF
         raw = spark.read.text(path).withColumnRenamed("value", "text")
     if "text" not in raw.columns:
         raise ValueError(f"no 'text' column in {path} (columns: {raw.columns})")
-    d = raw.withColumn(
-        "doc_id",
-        F.row_number().over(Window.orderBy(F.monotonically_increasing_id())).cast("long") - 1,
-    )
+    # input-order ids, hierarchically (no global single-partition sort)
+    d = assign_dense_ids(raw, order_col=None)
     return d.select(
         "doc_id",
         F.coalesce(

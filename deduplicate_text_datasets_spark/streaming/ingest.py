@@ -27,7 +27,7 @@ from ..operators.minhash import (
     doc_shingles,
     lsh_buckets,
     minhash_signatures,
-    verify_pairs,
+    verify_pairs_across,
 )
 
 
@@ -79,9 +79,10 @@ def dedup_batch(
         .select(F.col("doc_id").alias("a"), "b")
         .distinct()
     )
-    both_sh = new_sh.unionByName(idx_shingles)
+    # two-sided verify: new-batch ids and index ids are independent spaces
+    # (a colliding doc_id must not pull the wrong shingle set — ADVICE r1)
     near = (
-        verify_pairs(cands, both_sh, cfg)
+        verify_pairs_across(cands, new_sh, idx_shingles, cfg)
         .groupBy("a")
         .agg(F.min("b").alias("matched_doc"))
         .select(F.col("a").alias("doc_id"), "matched_doc")

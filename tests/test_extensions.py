@@ -80,9 +80,38 @@ def test_cosine_topk_lsh_recall(spark, emb):
 
 def test_cosine_pairs_finds_planted(spark, emb):
     df, _ = emb
-    pairs = {(r["a"], r["b"]) for r in cosine_pairs(df, dim=16, threshold=0.99, nbits=4).collect()}
+    pairs = {
+        (r["a"], r["b"])
+        for r in cosine_pairs(df, dim=16, threshold=0.99, method="lsh").collect()
+    }
     assert (20, 21) in pairs
     assert (10, 11) in pairs
+
+
+def test_cosine_pairs_lsh_matches_exact(spark, emb):
+    """Banded multi-table LSH sized for 1e-5 miss at the threshold must
+    reproduce the exact all-pairs result on a borderline threshold (the
+    round-1 single-table variant returned 0 of 1 true pairs at c=0.5)."""
+    df, vecs = emb
+    exact = {
+        (r["a"], r["b"], r["cos_mil"])
+        for r in cosine_pairs(df, dim=16, threshold=0.6, method="exact").collect()
+    }
+    lsh = {
+        (r["a"], r["b"], r["cos_mil"])
+        for r in cosine_pairs(
+            df, dim=16, threshold=0.6, method="lsh", bits=4, target_recall=0.99999
+        ).collect()
+    }
+    assert lsh == exact
+    # and the exact set agrees with numpy ground truth
+    truth = {
+        (a, b)
+        for a in range(200)
+        for b in range(a + 1, 200)
+        if _cos(vecs[a], vecs[b]) >= 0.6
+    }
+    assert {(a, b) for a, b, _ in exact} == truth
 
 
 def test_hyperplane_buckets_deterministic(spark, emb):
