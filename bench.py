@@ -209,23 +209,50 @@ def scaling_leg(cores: int, n_docs: int) -> dict:
 def run_scaling(sf_dir: str, n_docs: int | None = None) -> dict:
     """north_rule sandbox scaling: the same job on the same input at
     local[8] vs local[32], each leg in a FRESH process (JVM/page-cache
-    state from a prior leg otherwise contaminates the timing)."""
+    state from a prior leg otherwise contaminates the timing).
+
+    The host's background load varies by multi-minute episodes (measured:
+    identical 32-core JVM aggregates swing 1.9 s - 8 s), so single-shot
+    legs can invert the scaling verdict entirely. Legs are therefore run
+    in interleaved rounds (8, 32, 8, 32, ...) and each level reports its
+    MINIMUM wall — the standard contended-host protocol: the min is the
+    closest observable to the uncontended cost on both levels alike.
+    """
     import subprocess
 
     n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "12000"))
     leg_timeout = int(os.environ.get("SPARK_GRAFT_SCALING_LEG_TIMEOUT", "900"))
-    out = {}
-    for cores in (8, 32):
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--leg", str(cores), str(n_docs)],
-                capture_output=True, text=True, timeout=leg_timeout,
-            )
-            line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-            out[f"local{cores}"] = json.loads(line)
-        except Exception as exc:  # a failed leg must not lose the bench JSON
-            out[f"local{cores}"] = {"error": str(exc)[:200]}
-        print(f"[bench] scaling local[{cores}]: {out[f'local{cores}']}", file=sys.stderr)
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
+    out: dict = {}
+
+    def one_leg(cores: int) -> dict:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--leg", str(cores), str(n_docs)],
+            capture_output=True, text=True, timeout=leg_timeout,
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    walls: dict[int, list[float]] = {8: [], 32: []}
+    for r in range(rounds):
+        for cores in (8, 32):
+            try:
+                leg = one_leg(cores)
+                walls[cores].append(leg["wall_sec"])
+                key = f"local{cores}"
+                if key not in out or leg["wall_sec"] < out[key]["wall_sec"]:
+                    out[key] = leg
+                print(
+                    f"[bench] scaling round {r} local[{cores}]: {leg}",
+                    file=sys.stderr,
+                )
+            except Exception as exc:  # a failed leg must not lose the bench JSON
+                out.setdefault(f"local{cores}", {"error": str(exc)[:200]})
+                print(
+                    f"[bench] scaling round {r} local[{cores}] FAILED: {exc}",
+                    file=sys.stderr,
+                )
+    out["all_walls"] = {f"local{c}": w for c, w in walls.items()}
     try:
         speedup = out["local8"]["wall_sec"] / out["local32"]["wall_sec"]
         out["speedup_8_to_32"] = round(speedup, 3)

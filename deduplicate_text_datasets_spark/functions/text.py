@@ -77,7 +77,9 @@ def token_ids_u16(col: Column | str) -> Column:
 
 def pack_u16_le(ids: Column) -> Column:
     """Pack array<int> (0..65535) to the reference's little-endian uint16
-    byte layout (load_dataset.py:63-69): 2 bytes per token."""
+    byte layout (load_dataset.py:63-69): 2 bytes per token. Pure-Catalyst
+    fold, O(n^2) concat — tiny inputs / tests only; the production path is
+    the vectorized packer inside ``tokenize_corpus``."""
     return F.aggregate(
         ids,
         F.lit(b""),
@@ -90,3 +92,73 @@ def pack_u16_le(ids: Column) -> Column:
             ),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pluggable tokenizer seam (reference: load_dataset.py --tokenize, :63-69)
+# ---------------------------------------------------------------------------
+
+
+def make_tokenizer_udf(batch_fn):
+    """Wrap a batch tokenizer (pd.Series[str] -> pd.Series[list[int]]) as an
+    Arrow-vectorized pandas UDF — the integration point for real
+    vocabularies. The reference tokenizes with GPT-2/T5 inside mp.Pool
+    workers (load_dataset.py:63-69; count_occurrences.py:30-76); here the
+    same batch function rides Arrow batches on the executors."""
+    import pandas as pd  # noqa: F401  (signature type for pandas_udf)
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _tok(texts):
+        return batch_fn(texts)
+
+    return _tok
+
+
+def gpt2_tokenizer_udf():
+    """Real GPT-2 tokenizer UDF via tiktoken, when the library is present.
+    This container ships no tokenizer vocabulary — the seam raises with a
+    clear message instead of silently substituting the hash vocabulary."""
+    try:
+        import tiktoken
+    except ImportError as exc:  # pragma: no cover - env without tiktoken
+        raise NotImplementedError(
+            "GPT-2 tokenization needs the 'tiktoken' package (not in this "
+            "container). Use tokenize_corpus(docs) for the deterministic "
+            "hash-vocabulary emulation, or plug any batch tokenizer via "
+            "make_tokenizer_udf."
+        ) from exc
+
+    enc = tiktoken.get_encoding("gpt2")
+
+    def batch(texts):
+        return texts.map(lambda t: [i & 0xFFFF for i in enc.encode(t)])
+
+    return make_tokenizer_udf(batch)
+
+
+def tokenize_corpus(docs, tokenizer=None, text_col: str = "text"):
+    """documents -> (doc_id, token_ids array<int>, packed binary).
+
+    ``packed`` is the reference's on-disk tokenized layout: little-endian
+    uint16 per token (load_dataset.py:63-69), so every byte-level operator
+    runs token-level with offsets x2 (README.md:125). tokenizer=None uses
+    the deterministic hash vocabulary (Catalyst-only id derivation);
+    otherwise pass any ``make_tokenizer_udf`` result (e.g.
+    ``gpt2_tokenizer_udf()``). Packing is a vectorized Arrow UDF
+    (numpy '<u2' tobytes), not the O(n^2) Catalyst fold."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    ids = tokenizer(F.col(text_col)) if tokenizer is not None else token_ids_u16(text_col)
+
+    @F.pandas_udf(T.BinaryType())
+    def _pack(id_lists):
+        return id_lists.map(
+            lambda a: np.asarray(a if a is not None else [], dtype=np.uint16)
+            .astype("<u2")
+            .tobytes()
+        )
+
+    out = docs.select("doc_id", ids.alias("token_ids"))
+    return out.withColumn("packed", _pack(F.col("token_ids")))

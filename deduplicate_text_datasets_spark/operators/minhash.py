@@ -139,6 +139,11 @@ def candidate_pairs(buckets: DataFrame, cfg: MinHashConfig) -> DataFrame:
     AQE skew-join splitting applies — neither holds for a WindowExec
     partition, which is why this is not a count-over-window.
     """
+    from pyspark import StorageLevel
+
+    # two consumers (size agg + join) — persist or the upstream signature
+    # kernel re-executes for each
+    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = buckets.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("bsize")
     )

@@ -241,6 +241,52 @@ def test_assign_dense_ids_input_order(spark):
     assert sorted(r["doc_id"] for r in got) == list(range(500))
 
 
+def test_tokenize_corpus_seam(spark):
+    """Pluggable tokenizer seam: default hash vocabulary packs to the
+    reference's little-endian uint16 layout (load_dataset.py:63-69); a
+    custom batch tokenizer UDF plugs in; GPT-2 raises cleanly when
+    tiktoken is absent."""
+    import pandas as pd
+
+    from deduplicate_text_datasets_spark.functions.text import (
+        gpt2_tokenizer_udf,
+        make_tokenizer_udf,
+        tokenize_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "hello world again"), (1, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in tokenize_corpus(docs).collect()}
+    ids = got[0]["token_ids"]
+    assert len(ids) > 0 and all(0 <= i < 65536 for i in ids)
+    packed = bytes(got[0]["packed"])
+    assert len(packed) == 2 * len(ids)
+    assert [
+        int.from_bytes(packed[i : i + 2], "little") for i in range(0, len(packed), 2)
+    ] == list(ids)
+    assert bytes(got[1]["packed"]) == b""
+
+    custom = make_tokenizer_udf(
+        lambda texts: texts.map(lambda t: [len(w) for w in t.split()])
+    )
+    got2 = {
+        r["doc_id"]: r["token_ids"]
+        for r in tokenize_corpus(docs, tokenizer=custom).collect()
+    }
+    assert got2[0] == [5, 5, 5]
+
+    try:
+        import tiktoken  # noqa: F401
+
+        has_tiktoken = True
+    except ImportError:
+        has_tiktoken = False
+    if not has_tiktoken:
+        with pytest.raises(NotImplementedError):
+            gpt2_tokenizer_udf()
+
+
 def test_sinks_parquet_fallback(spark, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("sink") / "docs_out")
     df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
