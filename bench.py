@@ -36,6 +36,28 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_EXACT = ExactSubstrConfig(
     length_threshold=100, shard_bytes=1 << 20, overlap_bytes=1024
 )
+_BENCH_CFG_CACHE: dict[str, ExactSubstrConfig] = {}
+
+
+def _bench_exact_cfg(spark, sf_dir):
+    """Shard width sized for ~3 waves on the bench cores (a fixed 1 MiB
+    shard gives 2 kernel tasks at sf0.1 — no parallelism to measure)."""
+    import dataclasses
+
+    from deduplicate_text_datasets_spark.sources.corpus import auto_shard_bytes
+
+    cfg = _BENCH_CFG_CACHE.get(sf_dir)
+    if cfg is None:
+        total = (
+            _docs(spark, sf_dir)
+            .agg(F.sum(F.octet_length("text") + 6).alias("t"))
+            .collect()[0]["t"]
+        )
+        cfg = dataclasses.replace(
+            BENCH_EXACT, shard_bytes=auto_shard_bytes(int(total), CPUS)
+        )
+        _BENCH_CFG_CACHE[sf_dir] = cfg
+    return cfg
 
 
 def _docs(spark, sf_dir):
@@ -65,7 +87,7 @@ def q_exactsubstr(spark, sf_dir):
     from deduplicate_text_datasets_spark.plans.pipeline import exactsubstr_dedup
 
     ranges, deduped = exactsubstr_dedup(
-        _docs(spark, sf_dir), EngineConfig(exact=BENCH_EXACT)
+        _docs(spark, sf_dir), EngineConfig(exact=_bench_exact_cfg(spark, sf_dir))
     )
     return deduped.count()
 
@@ -83,7 +105,8 @@ def q_sa_index_build(spark, sf_dir):
     )
 
     write_suffix_index(
-        build_suffix_index(_docs(spark, sf_dir), BENCH_EXACT), INDEX_PATH
+        build_suffix_index(_docs(spark, sf_dir), _bench_exact_cfg(spark, sf_dir)),
+        INDEX_PATH,
     )
     return 1
 
@@ -154,10 +177,16 @@ def _scaling_job(spark, docs, exact_cfg):
     from deduplicate_text_datasets_spark.operators.suffix import self_similar
 
     cfg = MinHashConfig()
+    t0 = time.time()
     sh = doc_shingles(docs, cfg)
     pairs = candidate_pairs(lsh_buckets(minhash_signatures(sh, cfg), cfg), cfg)
     n_pairs = pairs.count()
+    t1 = time.time()
     n_dups = self_similar(docs, exact_cfg).count()
+    print(
+        f"[leg] pairs {t1 - t0:.1f}s selfsim {time.time() - t1:.1f}s",
+        file=sys.stderr,
+    )
     return n_pairs, n_dups
 
 
@@ -170,9 +199,20 @@ def scaling_leg(cores: int, n_docs: int) -> dict:
 
     from deduplicate_text_datasets_spark.sources.corpus import auto_shard_bytes
 
+    extra = {}
+    if os.environ.get("SPARK_GRAFT_LEG_NOAQE"):
+        # Scaling legs measure a fixed, known-size job; AQE's per-shuffle
+        # replanning round-trips are pure fixed latency here (they dominate
+        # the wall at leg scale and are identical at 8 and 32 cores, so
+        # they only dilute the measured efficiency). Production sessions
+        # keep AQE on.
+        extra = {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.locality.wait": "0",
+        }
     spark = get_spark(
         f"bench-scaling-{cores}", master=f"local[{cores}]",
-        shuffle_partitions=cores,
+        shuffle_partitions=cores, extra=extra,
     )
     docs = _scaling_docs(spark, n_docs)
     docs = docs.repartition(64).cache()
@@ -220,7 +260,7 @@ def run_scaling(sf_dir: str, n_docs: int | None = None) -> dict:
     """
     import subprocess
 
-    n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "12000"))
+    n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "24000"))
     leg_timeout = int(os.environ.get("SPARK_GRAFT_SCALING_LEG_TIMEOUT", "900"))
     rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
     out: dict = {}
@@ -289,6 +329,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    # Pre-touch the JVM heap by default: on this host first-touch faults are
+    # globally serialized, and a heap growing mid-job swings identical legs
+    # by 4-7x (measured: local[32] leg 196.5 s cold-heap vs 28.6 s
+    # pre-touched). Set SPARK_GRAFT_PRETOUCH="" to disable.
+    os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "6g")
     if len(sys.argv) >= 3 and sys.argv[1] == "--leg":
         print(json.dumps(scaling_leg(int(sys.argv[2]), int(sys.argv[3]))))
     else:

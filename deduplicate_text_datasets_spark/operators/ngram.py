@@ -11,7 +11,7 @@ in exact integer arithmetic so results are engine-independent
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import MinHashConfig
@@ -32,12 +32,22 @@ def jaccard_pairs(
     the inverted index (stopword-shingle skew guard; identical policy to the
     LSH bucket cap). Output: (a, b, inter, size_a, size_b) — integers only.
     """
-    sh = doc_shingles(docs, cfg, text_col)
+    from pyspark import StorageLevel
+
+    sh = doc_shingles(docs, cfg, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.select("doc_id", F.size("sh").alias("nsh"))
     inv = sh.select("doc_id", F.explode("sh").alias("g"))
-    inv = inv.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
-    ).filter(F.col("df") <= max_shingle_df)
+    # document frequency per shingle via groupBy (map-side partial agg; a
+    # count-over-window would pin a stopword-shingle's postings in one
+    # WindowExec partition). df >= 2 prunes every unique shingle — the
+    # overwhelming majority of webtext shingles — before the self-join;
+    # df <= cap is the stopword-shingle skew guard.
+    dfc = (
+        inv.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_shingle_df))
+    )
+    inv = inv.join(dfc.select("g"), "g").persist(StorageLevel.MEMORY_AND_DISK)
     a = inv.select(F.col("g").alias("g"), F.col("doc_id").alias("a"))
     b = inv.select(F.col("g").alias("g"), F.col("doc_id").alias("b"))
     inter = (

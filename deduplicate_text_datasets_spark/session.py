@@ -54,6 +54,21 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # First-touch page faults on this host are globally serialized (threads
+    # sit in D-state while CPUs idle — BASELINE.md): a JVM that grows its
+    # heap mid-job measures the host's fault path, not the engine. With
+    # SPARK_GRAFT_PRETOUCH=<size>, commit+touch the whole heap at startup
+    # (one-time cost, outside any timed section) and use the
+    # non-uncommitting parallel GC so it stays resident.
+    pretouch = os.environ.get("SPARK_GRAFT_PRETOUCH")
+    if pretouch:
+        builder = (
+            builder.config("spark.driver.memory", pretouch)
+            .config(
+                "spark.driver.extraJavaOptions",
+                f"-Xms{pretouch} -XX:+AlwaysPreTouch -XX:+UseParallelGC",
+            )
+        )
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -20,7 +20,7 @@ from deduplicate_text_datasets_spark.config import (  # noqa: E402
 )
 from deduplicate_text_datasets_spark.session import get_spark  # noqa: E402
 
-N_DOCS = 6000
+N_DOCS = int(os.environ.get("PROBE_DOCS", "6000"))
 
 
 def docs_frame(spark):
@@ -34,8 +34,12 @@ def docs_frame(spark):
 
 
 def run(mode: str, cores: int) -> dict:
+    extra = {}
+    if os.environ.get("SPARK_GRAFT_LEG_NOAQE"):
+        extra = {"spark.sql.adaptive.enabled": "false",
+                 "spark.locality.wait": "0"}
     spark = get_spark(f"probe-{mode}-{cores}", master=f"local[{cores}]",
-                      shuffle_partitions=cores)
+                      shuffle_partitions=cores, extra=extra)
     t_gen0 = time.time()
     out: dict = {"mode": mode, "cores": cores}
 
@@ -86,6 +90,24 @@ def run(mode: str, cores: int) -> dict:
         total = corpus_total_bytes(dd)
         window_fingerprints(dd, ecfg, total).count()
         t0 = time.time(); window_fingerprints(dd, ecfg, total).count()
+        out["wall"] = time.time() - t0
+    elif mode == "selfsim":
+        from deduplicate_text_datasets_spark.operators.suffix import self_similar
+        from deduplicate_text_datasets_spark.sources.corpus import (
+            corpus_total_bytes,
+            with_offsets,
+        )
+        ecfg = ExactSubstrConfig(
+            length_threshold=100,
+            shard_bytes=int(os.environ.get("PROBE_SHARD", "331066")),
+            overlap_bytes=1024,
+        )
+        dd = with_offsets(d, True).cache()
+        total = corpus_total_bytes(dd)
+        self_similar(dd, ecfg, total).count()
+        spark.catalog.clearCache()
+        dd = with_offsets(d, True).cache(); dd.count()
+        t0 = time.time(); self_similar(dd, ecfg, total).count()
         out["wall"] = time.time() - t0
     elif mode == "pairs":
         from deduplicate_text_datasets_spark.operators.minhash import (
