@@ -69,10 +69,16 @@ def _docs(spark, sf_dir):
 def _scaling_docs(spark, n_docs: int):
     """Deterministic FIXTURES.md corpus (realistic planted-duplicate rates:
     ~10% exact dups, ~10% near dups, boilerplate skew) — generated in place
-    on the executors, no driver collect."""
+    on the executors, no driver collect. Doc length is sized so per-leg
+    compute dominates the fixed session/stage latency floor (~15 s), which
+    otherwise caps the measurable strong-scaling ratio."""
     from deduplicate_text_datasets_spark.sources.documents import synth_documents
 
-    return synth_documents(spark, n_docs, size_lo=50, size_hi=300).select(
+    lo, hi = (
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_SCALING_WORDS", "300,800").split(",")
+    )
+    return synth_documents(spark, n_docs, size_lo=lo, size_hi=hi).select(
         "doc_id", "url", "text"
     )
 
@@ -260,7 +266,7 @@ def run_scaling(sf_dir: str, n_docs: int | None = None) -> dict:
     """
     import subprocess
 
-    n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "24000"))
+    n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "16000"))
     leg_timeout = int(os.environ.get("SPARK_GRAFT_SCALING_LEG_TIMEOUT", "900"))
     rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
     out: dict = {}
@@ -270,8 +276,21 @@ def run_scaling(sf_dir: str, n_docs: int | None = None) -> dict:
             [sys.executable, os.path.abspath(__file__), "--leg", str(cores), str(n_docs)],
             capture_output=True, text=True, timeout=leg_timeout,
         )
-        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-        return json.loads(line)
+        lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        if not lines:
+            dump = f"/tmp/spark_graft_leg_fail_{cores}.log"
+            with open(dump, "w") as f:
+                f.write(proc.stderr)
+            errs = [
+                l
+                for l in proc.stderr.splitlines()
+                if "Exception" in l or "Error" in l
+            ]
+            raise RuntimeError(
+                f"leg rc={proc.returncode}, stderr dumped to {dump}: "
+                + "; ".join(e.strip()[:160] for e in errs[:3])
+            )
+        return json.loads(lines[-1])
 
     walls: dict[int, list[float]] = {8: [], 32: []}
     for r in range(rounds):

@@ -181,19 +181,36 @@ def find_duplicates(fingerprints: DataFrame, cfg: ExactSubstrConfig) -> DataFram
 
 
 def self_similar(
-    docs: DataFrame, cfg: ExactSubstrConfig, total: int | None = None
+    docs: DataFrame,
+    cfg: ExactSubstrConfig,
+    total: int | None = None,
+    persist_fp: bool | None = None,
 ) -> DataFrame:
     """documents -> duplicates(pos, cluster_id, cluster_size).
 
-    The fingerprint frame is persisted (MEMORY_AND_DISK): find_duplicates
-    reads it twice, and without the persist the per-shard rolling-hash
-    kernels re-execute for the second read.
+    find_duplicates consumes the fingerprint frame twice (stats agg +
+    join-back). Two strategies:
+
+    * persist_fp=True (default): persist MEMORY_AND_DISK — the rolling-hash
+      kernels run once; the frame (24 B/position) is written to and read
+      from storage. Right when executors bring their own disks/memory
+      (real cluster) or the kernel input scan is expensive.
+    * persist_fp=False: recompute the kernels for the second consumer —
+      pure CPU that scales with cores, trading ~2x kernel compute for zero
+      storage traffic. Right on storage-bandwidth-bound hosts (this
+      sandbox's single shared disk) when the doc frame is already cached.
+
+    Env override for benches: SPARK_GRAFT_FP_PERSIST=0/1.
     """
+    import os
+
     from pyspark import StorageLevel
 
-    fp = window_fingerprints(docs, cfg, total).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    if persist_fp is None:
+        persist_fp = os.environ.get("SPARK_GRAFT_FP_PERSIST", "1") != "0"
+    fp = window_fingerprints(docs, cfg, total)
+    if persist_fp:
+        fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
     return find_duplicates(fp, cfg)
 
 

@@ -52,7 +52,20 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Static broadcast selection is DISABLED: Catalyst propagates the
+        # child's size estimate through mapInPandas/applyInPandas nodes, so
+        # a fingerprint/signature frame that EXPANDS its small cached input
+        # (24 B/corpus-byte vs 1 B/byte) gets misjudged as broadcastable and
+        # collected to the driver (observed: 1+ GiB broadcast ->
+        # maxResultSize abort). AQE re-plans every shuffled join with exact
+        # runtime sizes, so genuinely small sides still broadcast — just
+        # decided on facts, not estimates. Explicit F.broadcast() hints
+        # (tiny stats frames) are unaffected.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(64 * 1024 * 1024),
+        )
     )
     # First-touch page faults on this host are globally serialized (threads
     # sit in D-state while CPUs idle — BASELINE.md): a JVM that grows its

@@ -26,7 +26,7 @@ N_DOCS = int(os.environ.get("PROBE_DOCS", "6000"))
 def docs_frame(spark):
     from deduplicate_text_datasets_spark.sources.documents import synth_documents
 
-    d = synth_documents(spark, N_DOCS, size_lo=50, size_hi=300).select(
+    d = synth_documents(spark, N_DOCS, size_lo=300, size_hi=800).select(
         "doc_id", "url", "text"
     ).repartition(64).cache()
     d.count()
