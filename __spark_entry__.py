@@ -140,9 +140,21 @@ def _q_count_occurrences_indexed(spark, sf_dir):
         write_suffix_index,
     )
 
+    # cache key includes a data fingerprint (file sizes + mtimes): if the
+    # testdata at the same path is regenerated, the index rebuilds instead
+    # of answering from a stale cache
+    src = f"{sf_dir}/documents.parquet"
+    fp_parts = []
+    for root, _dirs, files in sorted(os.walk(src)) or [(src, [], [])]:
+        for f in sorted(files):
+            st = os.stat(os.path.join(root, f))
+            fp_parts.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+    if os.path.isfile(src):
+        st = os.stat(src)
+        fp_parts.append(f"{os.path.basename(src)}:{st.st_size}:{int(st.st_mtime)}")
     key = hashlib.sha1(
         f"{sf_dir}|{EXACT_CFG.shard_bytes}|{EXACT_CFG.overlap_bytes}|"
-        f"{EXACT_CFG.with_separators}|v1".encode()
+        f"{EXACT_CFG.with_separators}|v2|{'|'.join(fp_parts)}".encode()
     ).hexdigest()[:12]
     path = f"/tmp/spark_graft_sa_index/{key}"
     if not os.path.exists(f"{path}/_SUCCESS"):

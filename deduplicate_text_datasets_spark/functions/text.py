@@ -154,11 +154,33 @@ def tokenize_corpus(docs, tokenizer=None, text_col: str = "text"):
 
     @F.pandas_udf(T.BinaryType())
     def _pack(id_lists):
-        return id_lists.map(
-            lambda a: np.asarray(a if a is not None else [], dtype=np.uint16)
-            .astype("<u2")
-            .tobytes()
-        )
+        def pack_one(a):
+            arr = np.asarray(a if a is not None else [], dtype=np.int64)
+            if arr.size and (arr.min() < 0 or arr.max() > 0xFFFF):
+                # a custom tokenizer with ids >= 65536 would silently wrap
+                # mod 2^16 in the packed bytes while token_ids kept the
+                # original value — corrupt layout, so fail loudly
+                raise ValueError(
+                    "token id outside [0, 65535]: the packed corpus layout "
+                    "is 2 bytes/token (reference load_dataset.py:63-69); "
+                    "mask ids to 16 bits in the tokenizer or use a wider "
+                    "custom layout"
+                )
+            return arr.astype("<u2").tobytes()
+
+        return id_lists.map(pack_one)
 
     out = docs.select("doc_id", ids.alias("token_ids"))
     return out.withColumn("packed", _pack(F.col("token_ids")))
+
+
+def tokenized_documents(docs, tokenizer=None, text_col: str = "text"):
+    """documents -> (doc_id, text: binary) where ``text`` is the packed
+    u16 token corpus — a drop-in input for every ExactSubstr operator
+    (with_offsets / self_similar / count_occurrences / find_training_data
+    consume str or bytes alike). Token-mode rules (README.md:74,125;
+    main.rs:762-768): length thresholds DOUBLE in bytes (50 tokens = 100
+    bytes) and find_training_data runs with step=2, its qpos being byte
+    offsets = 2 x token offsets."""
+    t = tokenize_corpus(docs, tokenizer, text_col)
+    return t.select("doc_id", F.col("packed").alias("text"))

@@ -121,13 +121,22 @@ def frame_sample(
 
 def exact_media_duplicates(media: DataFrame) -> DataFrame:
     """Exact payload dedup — JVM-side sha2 over the binary column; no
-    decode needed (works for any modality)."""
-    from pyspark.sql import Window
+    decode needed (works for any modality).
 
-    w = Window.partitionBy(F.sha2("payload", 256))
-    return media.select(
-        "doc_id",
-        "media_type",
-        F.min("doc_id").over(w).alias("group_id"),
-        F.count(F.lit(1)).over(w).alias("group_size"),
+    Payloads never enter an exchange: the frame is projected to
+    (doc_id, media_type, sha) first, group stats come from a groupBy
+    (map-side partial agg — a hot duplicate payload contributes one row
+    per mapper), then join back. A window over partitionBy(sha) would
+    both ship full payloads through the shuffle and pin every member of
+    a hot duplicate group in one unsplittable WindowExec partition.
+    """
+    keyed = media.select(
+        "doc_id", "media_type", F.sha2("payload", 256).alias("_sha")
+    )
+    groups = keyed.groupBy("_sha").agg(
+        F.min("doc_id").alias("group_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return keyed.join(groups, "_sha").select(
+        "doc_id", "media_type", "group_id", "group_size"
     )

@@ -46,8 +46,7 @@ from .suffix import (
     MATCH_LEN_SCHEMA,
     POSITIONS_SCHEMA,
     QUERY_HITS_SCHEMA,
-    _lcp,
-    _sa_compare,
+    _batched_match_lens,
     _sa_range,
     suffix_array,
 )
@@ -59,8 +58,33 @@ SA_INDEX_SCHEMA = T.StructType(
         T.StructField("own_hi", T.LongType(), False),
         T.StructField("buf", T.BinaryType(), False),
         T.StructField("sa", T.BinaryType(), False),
+        # build config persisted per row so readers can validate queries
+        # against the overlap guarantee (see _check_query_lengths)
+        T.StructField("shard_bytes", T.LongType(), False),
+        T.StructField("overlap_bytes", T.LongType(), False),
+        T.StructField("with_separators", T.BooleanType(), False),
     ]
 )
+
+
+def _check_query_lengths(index: DataFrame, queries: list[tuple[int, bytes]]) -> None:
+    """A query longer than overlap_bytes+1 can straddle a shard-ownership
+    boundary without being resident in the owning shard's buffer — the
+    live path raises (suffix.py count_occurrences); the indexed path must
+    too, from the config persisted at build time. Pre-r03 indexes without
+    the config columns skip the check (documented weaker guarantee)."""
+    if "overlap_bytes" not in index.columns:
+        return
+    max_q = max((len(q) for _, q in queries), default=0)
+    if max_q == 0:
+        return
+    overlap = index.agg(F.min("overlap_bytes")).collect()[0][0]
+    if overlap is not None and max_q > int(overlap) + 1:
+        raise ValueError(
+            f"query of {max_q} bytes exceeds the index's overlap_bytes+1="
+            f"{int(overlap) + 1}; rebuild the index with a larger "
+            "ExactSubstrConfig.overlap_bytes"
+        )
 
 
 def build_suffix_index(
@@ -89,6 +113,9 @@ def build_suffix_index(
                 "own_hi": [min((s + 1) * cfg.shard_bytes, total)],
                 "buf": [buf.tobytes()],
                 "sa": [sa.astype("<i8").tobytes()],
+                "shard_bytes": [cfg.shard_bytes],
+                "overlap_bytes": [cfg.overlap_bytes],
+                "with_separators": [cfg.with_separators],
             }
         )
 
@@ -130,6 +157,7 @@ def count_occurrences_indexed(
     """Point lookup against a prebuilt index (main.rs:623-672 semantics:
     overlapping occurrences, owned-start ownership). Returns
     (query_id, count, first_pos); absent queries report count 0."""
+    _check_query_lengths(index, queries)
     qarr = [(int(qid), np.frombuffer(q, dtype=np.uint8)) for qid, q in queries]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -170,6 +198,7 @@ def find_positions_indexed(
 ) -> DataFrame:
     """All owned occurrence positions per query (table.rs:250-307), from
     the prebuilt index."""
+    _check_query_lengths(index, queries)
     qarr = [(int(qid), np.frombuffer(q, dtype=np.uint8)) for qid, q in queries]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -198,34 +227,33 @@ def find_training_data_indexed(
     step: int = 1,
 ) -> DataFrame:
     """find-training-data (main.rs:730-805) against the prebuilt index:
-    per query offset, the longest common prefix with any indexed suffix."""
+    per query offset, the longest common prefix with any indexed suffix.
+    All probes of a query advance through the lockstep batched kernel
+    (suffix._batched_match_lens) — no per-probe Python binary search.
+
+    Note: match_len is a prefix-match statistic (not an occurrence count),
+    so it needs no overlap-length guard — a cross-boundary match longer
+    than the buffer reports the in-buffer prefix, the documented
+    HACKSIZE-class approximation (suffix.find_training_data)."""
     qarr = [(int(qid), np.frombuffer(q, dtype=np.uint8)) for qid, q in queries]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        out_q: list[int] = []
-        out_p: list[int] = []
-        out_l: list[int] = []
+        frames = []
         for _lo, _own_hi, buf, sa in _iter_shards(batches):
             for qid, q in qarr:
-                for i in range(0, len(q), step):
-                    probe = q[i : i + probe_cap]
-                    loi, hii = 0, len(sa)
-                    while loi < hii:
-                        mid = (loi + hii) // 2
-                        if _sa_compare(buf, sa[mid], probe) < 0:
-                            loi = mid + 1
-                        else:
-                            hii = mid
-                    best = 0
-                    for j in (loi - 1, loi):
-                        if 0 <= j < len(sa):
-                            best = max(best, _lcp(buf[sa[j] :], probe))
-                    out_q.append(qid)
-                    out_p.append(i)
-                    out_l.append(best)
-        yield pd.DataFrame(
-            {"query_id": out_q, "qpos": out_p, "match_len": out_l}
-        ).astype({"query_id": "int64", "qpos": "int64", "match_len": "int64"})
+                qpos = np.arange(0, len(q), step, dtype=np.int64)
+                lens = _batched_match_lens(buf, sa, q, qpos, probe_cap)
+                frames.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "qpos": qpos, "match_len": lens}
+                    )
+                )
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+        else:
+            yield pd.DataFrame(
+                {"query_id": [], "qpos": [], "match_len": []}
+            ).astype({"query_id": "int64", "qpos": "int64", "match_len": "int64"})
 
     per_shard = index.mapInPandas(kernel, MATCH_LEN_SCHEMA)
     return per_shard.groupBy("query_id", "qpos").agg(

@@ -17,7 +17,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -89,8 +89,19 @@ def simhash_candidates(
 ) -> DataFrame:
     """Candidate pairs agreeing on >= 1 of the k+1 blocks (complete for
     Hamming distance <= k by pigeonhole). Oversized buckets are dropped
-    (skew guard, same policy as minhash.candidate_pairs)."""
+    (skew guard, same policy as minhash.candidate_pairs).
+
+    Bucket sizing is a groupBy (map-side partial agg) joined back onto a
+    persisted exploded-block frame — NOT a count-over-window: boilerplate
+    webtext makes near-identical fingerprints, so hot (block, value) keys
+    are the norm, and a WindowExec partition can neither be split by AQE
+    nor partially aggregated. Same shape as minhash.candidate_pairs.
+    """
+    from pyspark import StorageLevel
+
     blocks = _blocks(cfg)
+    # two consumers (size agg + join-back) — persist or the fingerprint
+    # kernel re-executes for each
     exploded = fingerprints.select(
         "doc_id",
         "fingerprint",
@@ -104,10 +115,16 @@ def simhash_candidates(
                 ]
             )
         ).alias("block", "value"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = exploded.groupBy("block", "value").agg(
+        F.count(F.lit(1)).alias("bsize")
     )
-    sized = exploded.withColumn(
-        "bsize", F.count(F.lit(1)).over(Window.partitionBy("block", "value"))
-    ).filter((F.col("bsize") >= 2) & (F.col("bsize") <= max_bucket_size))
+    sized = exploded.join(
+        sizes.filter(
+            (F.col("bsize") >= 2) & (F.col("bsize") <= max_bucket_size)
+        ),
+        ["block", "value"],
+    )
     left = sized.select(
         "block", "value", F.col("doc_id").alias("a"), F.col("fingerprint").alias("fa")
     )

@@ -304,34 +304,96 @@ def across_similar(
 # ---------------------------------------------------------------------------
 
 
+try:  # linear-time SA-IS when the (public, pip) binding is present
+    from pydivsufsort import divsufsort as _divsufsort
+except ImportError:  # pragma: no cover - env without pydivsufsort
+    _divsufsort = None
+
+
 def suffix_array(buf: np.ndarray) -> np.ndarray:
-    """Prefix-doubling suffix sort, O(n log^2 n), fully vectorized
-    (numpy lexsort per doubling round). Oracle semantics:
+    """Per-shard suffix sort. Oracle semantics:
     sorted(S[i:] for i in range(len(S))) (src/main.rs:23-24).
 
     Replaces the reference's SA-IS kernel (src/table.rs:400-586) — per
-    shard, inside an Arrow kernel, never materialized globally.
+    shard, inside an Arrow kernel, never materialized globally. Uses
+    libdivsufsort (linear-ish time) when ``pydivsufsort`` is importable;
+    the fallback is a bucket-refined prefix-doubling sort:
+
+    * round 0 ranks every suffix by its first 4 bytes in one radix argsort
+      (16-bit sentinel lanes: byte+1 with 0-pad, so a short suffix sorts
+      before any extension — no zero-byte/padding ambiguity);
+    * each doubling round re-sorts ONLY the still-tied rank groups
+      (Larsson–Sadakane refinement): on real text the tied fraction
+      collapses after a couple of rounds and later rounds touch just the
+      duplicated regions, so the k-th round costs O(dup_k log dup_k), not
+      O(n log n) — the dominant-compute fix flagged in VERDICT r02.
+
+    Ranks are "group start slot" integers (< n <= 2^27 at the 64 MiB
+    production shard cap), so a (rank, next_rank) pair packs into one
+    uint64 key and each round is a single stable radix argsort.
     """
     n = len(buf)
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    rank = buf.astype(np.int64)
-    k = 1
-    while True:
-        key2 = np.full(n, -1, dtype=np.int64)
-        if k < n:
-            key2[:-k] = rank[k:]
-        order = np.lexsort((key2, rank))
-        r1, r2 = rank[order], key2[order]
-        changed = np.empty(n, dtype=np.int64)
-        changed[0] = 0
-        changed[1:] = (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
-        new_rank = np.empty(n, dtype=np.int64)
-        new_rank[order] = np.cumsum(changed)
-        rank = new_rank
-        if rank[order[-1]] == n - 1:
-            return order.astype(np.int64)
-        k *= 2
+    if _divsufsort is not None:
+        return np.asarray(_divsufsort(buf), dtype=np.int64)
+    # round 0: rank by first 4 bytes via sentinel lanes (b+1, 0-padded)
+    ext = np.concatenate(
+        [buf.astype(np.uint64) + np.uint64(1), np.zeros(4, dtype=np.uint64)]
+    )
+    key0 = (
+        (ext[0:n] << np.uint64(48))
+        | (ext[1 : n + 1] << np.uint64(32))
+        | (ext[2 : n + 2] << np.uint64(16))
+        | ext[3 : n + 3]
+    )
+    order = np.argsort(key0, kind="stable").astype(np.int64)
+    k0 = key0[order]
+    start = np.empty(n, dtype=bool)
+    start[0] = True
+    start[1:] = k0[1:] != k0[:-1]
+    slots = np.arange(n, dtype=np.int64)
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.maximum.accumulate(np.where(start, slots, 0))
+    # initial unresolved subset: slots whose rank group has size > 1. The
+    # subset only ever shrinks, so later rounds never rescan all n slots —
+    # per-round cost is O(current tied count), which on real text collapses
+    # to just the duplicated regions after a couple of rounds.
+    eq_next = np.zeros(n, dtype=bool)
+    eq_next[:-1] = ~start[1:]
+    unres = eq_next.copy()
+    unres[1:] |= eq_next[:-1]
+    s = np.nonzero(unres)[0]
+    k = 4
+    while len(s):
+        if k > 2 * n:  # sentinel base case makes this unreachable
+            raise RuntimeError("suffix_array failed to converge")
+        suf = order[s]
+        nxt = suf + k
+        key2 = np.where(
+            nxt < n, rank[np.minimum(nxt, n - 1)] + 1, 0
+        ).astype(np.uint64)
+        # group id (= start slot) rides the high half so one stable radix
+        # argsort refines every group at once; groups are slot-contiguous
+        comb = (rank[suf].astype(np.uint64) << np.uint64(32)) | key2
+        sub = np.argsort(comb, kind="stable")
+        order[s] = suf[sub]
+        cs = comb[sub]
+        m = len(s)
+        nstart = np.empty(m, dtype=bool)
+        nstart[0] = True
+        nstart[1:] = cs[1:] != cs[:-1]
+        rank[order[s]] = np.maximum.accumulate(np.where(nstart, s, 0))
+        # still-tied slots within the subset (equal comb <=> same old group
+        # and same doubled key; distinct old groups never share comb since
+        # the group id is the high half)
+        eq = np.zeros(m, dtype=bool)
+        eq[:-1] = cs[1:] == cs[:-1]
+        un2 = eq.copy()
+        un2[1:] |= eq[:-1]
+        s = s[un2]
+        k <<= 1
+    return order
 
 
 def _sa_compare(buf: np.ndarray, start: int, q: np.ndarray) -> int:
@@ -477,6 +539,181 @@ def _lcp(a: np.ndarray, b: np.ndarray) -> int:
     return int(neq[0]) if len(neq) else m
 
 
+# --- batched match-length kernel (vectorized find-training-data) ----------
+#
+# The reference runs find-training-data over EVERY token offset of large
+# query files with 176 threads (main.rs:778); a per-probe Python binary
+# search (one numpy allocation per comparison) is orders slower at that
+# shape. Here ALL probes advance together through a lane-parallel binary
+# search: each step gathers one 4-byte suffix chunk per probe and narrows
+# every probe's SA range at once. Chunks are 16-bit sentinel lanes
+# (byte+1, 0-padded) so a suffix end never falsely matches a probe byte —
+# exact even for corpora/queries containing NUL bytes (packed-u16 token
+# corpora have them in every high byte < 256).
+
+_CHUNK = 4  # bytes compared per descent level
+
+
+def _sentinel_ext(arr: np.ndarray) -> np.ndarray:
+    """uint64 lanes byte+1 with trailing zero pad (reads past the end of
+    any suffix resolve to the 0 sentinel)."""
+    return np.concatenate(
+        [arr.astype(np.uint64) + np.uint64(1), np.zeros(_CHUNK, dtype=np.uint64)]
+    )
+
+
+def _chunk_at(ext: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Packed 4-lane chunk starting at each idx (clamped reads land in the
+    zero pad, i.e. the sentinel)."""
+    last = len(ext) - 1
+    v = np.zeros(len(idx), dtype=np.uint64)
+    for b in range(_CHUNK):
+        v = (v << np.uint64(16)) | ext[np.minimum(idx + b, last)]
+    return v
+
+
+def _lane_lcp(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Leading equal 16-bit lanes between packed chunks (0..4)."""
+    xor = x ^ y
+    cnt = np.zeros(len(x), dtype=np.int64)
+    alive = np.ones(len(x), dtype=bool)
+    for b in range(_CHUNK):
+        lane = (xor >> np.uint64(16 * (_CHUNK - 1 - b))) & np.uint64(0xFFFF)
+        alive &= lane == 0
+        cnt += alive
+    return cnt
+
+
+def _vbisect(
+    ext: np.ndarray,
+    sa: np.ndarray,
+    off: int,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    pk: np.ndarray,
+    side: str,
+) -> np.ndarray:
+    """searchsorted of each probe chunk pk[i] within its own SA range
+    [lo[i], hi[i]) on the depth-``off`` suffix chunk — all probes bisect in
+    lockstep (each iteration is one vectorized gather+compare)."""
+    lo = lo.copy()
+    hi = hi.copy()
+    nsa = len(sa)
+    while True:
+        run = lo < hi
+        if not run.any():
+            return lo
+        mid = (lo + hi) >> 1
+        kv = _chunk_at(ext, sa[np.minimum(mid, nsa - 1)] + off)
+        go = (kv < pk) if side == "left" else (kv <= pk)
+        adv = run & go
+        lo = np.where(adv, mid + 1, lo)
+        hi = np.where(run & ~go, mid, hi)
+
+
+def _batched_match_lens(
+    buf: np.ndarray, sa: np.ndarray, q: np.ndarray, qpos: np.ndarray,
+    probe_cap: int,
+) -> np.ndarray:
+    """For each probe (suffix of q starting at qpos[i], capped), the
+    longest common prefix with ANY suffix of buf. Exact: equals
+    max_j lcp(buf[sa[j]:], q[qpos[i]:qpos[i]+cap]).
+
+    Per descent level d the surviving probes (those matching the first
+    4*d bytes of some suffix) narrow their tie range with two lockstep
+    bisections; a probe whose range empties takes its final partial-chunk
+    LCP from the two suffixes adjacent to its insertion point (sorted
+    order makes common-prefix length unimodal around it). Work per level
+    is O(active * log n) gathers, and the active set shrinks to just the
+    long-match probes.
+    """
+    n = len(sa)
+    m = len(qpos)
+    best = np.zeros(m, dtype=np.int64)
+    if m == 0 or n == 0:
+        return best
+    ext = _sentinel_ext(buf)
+    qext = _sentinel_ext(q)
+    qpos = qpos.astype(np.int64)
+    qlen = np.maximum(np.minimum(len(q) - qpos, probe_cap), 0)
+    lo = np.zeros(m, dtype=np.int64)
+    hi = np.full(m, n, dtype=np.int64)
+    resolved = np.zeros(m, dtype=bool)
+    d = 0
+    while not resolved.all():
+        off = _CHUNK * d
+        rem = qlen - off
+        # probe exhausted with a live range => some suffix matched all of it
+        done = (~resolved) & (rem <= 0)
+        best[done] = qlen[done]
+        resolved |= done
+        act = np.nonzero(~resolved)[0]
+        if len(act) == 0:
+            break
+        pk = _chunk_at(qext, qpos[act] + off)
+        l2 = _vbisect(ext, sa, off, lo[act], hi[act], pk, "left")
+        r2 = _vbisect(ext, sa, off, lo[act], hi[act], pk, "right")
+        empty = l2 == r2
+        if empty.any():
+            ei = act[empty]
+            le = l2[empty]
+            pke = pk[empty]
+            cand = np.zeros(len(ei), dtype=np.int64)
+            for dj in (-1, 0):
+                j = le + dj
+                ok = (j >= lo[ei]) & (j < hi[ei])
+                sv = _chunk_at(ext, sa[np.where(ok, j, 0)] + off)
+                ll = np.minimum(_lane_lcp(pke, sv), rem[ei])
+                cand = np.maximum(cand, np.where(ok, ll, 0))
+            best[ei] = off + cand
+            resolved[ei] = True
+        ni = act[~empty]
+        lo[ni] = l2[~empty]
+        hi[ni] = r2[~empty]
+        # Narrow-range early-out: <= 2 candidate suffixes left. Finish each
+        # with one flat numpy LCP scan instead of descending 4 bytes per
+        # round — a whole-document duplicate (match_len ~ doc bytes) would
+        # otherwise cost len/4 lockstep rounds. The max-LCP suffix is
+        # inside [lo, hi): anything outside matches < base bytes.
+        base = _CHUNK * (d + 1)
+        for i in ni[(hi[ni] - lo[ni]) <= 2]:
+            if base >= qlen[i]:
+                continue  # the rem<=0 branch resolves it next round
+            qs = q[qpos[i] + base : qpos[i] + qlen[i]]
+            bst = 0
+            for j in range(lo[i], hi[i]):
+                bst = max(bst, _lcp(buf[sa[j] + base :], qs))
+            best[i] = base + bst
+            resolved[i] = True
+        d += 1
+    return best
+
+
+def _match_lens_loop(
+    buf: np.ndarray, sa: np.ndarray, q: np.ndarray, qpos: np.ndarray,
+    probe_cap: int,
+) -> np.ndarray:
+    """Naive per-probe binary-search kernel (the pre-r03 implementation) —
+    kept as the test oracle and the bench comparator for the batched
+    kernel."""
+    out = np.zeros(len(qpos), dtype=np.int64)
+    for ix, i in enumerate(qpos):
+        probe = q[i : i + probe_cap]
+        loi, hii = 0, len(sa)
+        while loi < hii:
+            mid = (loi + hii) // 2
+            if _sa_compare(buf, sa[mid], probe) < 0:
+                loi = mid + 1
+            else:
+                hii = mid
+        best = 0
+        for j in (loi - 1, loi):
+            if 0 <= j < len(sa):
+                best = max(best, _lcp(buf[sa[j] :], probe))
+        out[ix] = best
+    return out
+
+
 def find_training_data(
     docs: DataFrame,
     queries: list[tuple[int, bytes]],
@@ -509,28 +746,20 @@ def find_training_data(
             pdf, cfg.shard_bytes, cfg.overlap_bytes, total, cfg.with_separators
         )
         sa = suffix_array(buf)
-        out_q, out_p, out_l = [], [], []
+        frames = []
         for qid, q in qarr:
-            for i in range(0, len(q), step):
-                probe = q[i : i + probe_cap]
-                # insertion point of probe in SA order
-                loi, hii = 0, len(sa)
-                while loi < hii:
-                    mid = (loi + hii) // 2
-                    if _sa_compare(buf, sa[mid], probe) < 0:
-                        loi = mid + 1
-                    else:
-                        hii = mid
-                best = 0
-                for j in (loi - 1, loi):
-                    if 0 <= j < len(sa):
-                        best = max(best, _lcp(buf[sa[j] :], probe))
-                out_q.append(qid)
-                out_p.append(i)
-                out_l.append(best)
-        return pd.DataFrame(
-            {"query_id": out_q, "qpos": out_p, "match_len": out_l}
-        ).astype({"query_id": "int64", "qpos": "int64", "match_len": "int64"})
+            qpos = np.arange(0, len(q), step, dtype=np.int64)
+            lens = _batched_match_lens(buf, sa, q, qpos, probe_cap)
+            frames.append(
+                pd.DataFrame(
+                    {"query_id": qid, "qpos": qpos, "match_len": lens}
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {"query_id": [], "qpos": [], "match_len": []}
+            ).astype({"query_id": "int64", "qpos": "int64", "match_len": "int64"})
+        return pd.concat(frames, ignore_index=True)
 
     shards = assign_shards(docs, cfg.shard_bytes, cfg.overlap_bytes)
     per_shard = (

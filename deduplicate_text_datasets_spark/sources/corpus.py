@@ -127,10 +127,17 @@ def assign_shards(
     )
 
 
-def doc_payload(uid: int, text: str, with_separators: bool) -> bytes:
+def doc_payload(uid: int, text: str | bytes, with_separators: bool) -> bytes:
+    """One document's bytes in the virtual flat corpus. ``text`` may be a
+    string (byte-level corpus, UTF-8) or bytes (tokenized mode: the packed
+    little-endian u16 layout from functions.text.tokenize_corpus — the
+    reference's --tokenize path, load_dataset.py:63-69). The 6-byte
+    separator prefix is byte-identical in both modes (= 3 u16 tokens), so
+    offsets stay exact under the token-mode x2 rule (README.md:125)."""
+    raw = text if isinstance(text, (bytes, bytearray)) else text.encode("utf-8")
     if not with_separators:
-        return text.encode("utf-8")
-    return b"\xff\xff" + struct.pack("<I", uid & 0xFFFFFFFF) + text.encode("utf-8")
+        return bytes(raw)
+    return b"\xff\xff" + struct.pack("<I", uid & 0xFFFFFFFF) + bytes(raw)
 
 
 def assemble_shard_buffer(

@@ -87,21 +87,62 @@ def assign_dense_ids(
     return out.drop("_pid", "_rk", "_off", "_mid")
 
 
+def _size_bytes(conf_val: str) -> int:
+    """Parse a Spark byte-size conf value ('134217728b', '128m', '1g')."""
+    v = conf_val.strip().lower()
+    for suf, mult in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40),
+        ("b", 1),
+    ):
+        if v.endswith(suf):
+            return int(v[: -len(suf)]) * mult
+    return int(v)
+
+
 def read_documents(spark: SparkSession, path: str) -> DataFrame:
     """Read a documents table (canonical or driver-test shape) into the
     canonical frame ordered/keyed by ``doc_id``.
 
-    Column pruning + predicate pushdown reach the parquet scan because this
-    is a plain declarative projection (no UDFs).
+    ``path`` may be a filesystem parquet path or a dotted catalog table
+    name — dispatch is ``sinks.read_table`` (Iceberg-first per
+    BASELINE.json input_hint; the sandbox has no Iceberg jars, so tests
+    exercise the parquet fallback and run_submit_demo.sh documents the
+    catalog config).
+
+    Column pruning + predicate pushdown reach the scan because this is a
+    plain declarative projection (no UDFs).
     """
-    df = spark.read.parquet(path)
-    # Small test files arrive as one row-group => one partition => every
-    # downstream kernel runs on one core. Fan out when the scan produced
-    # fewer files than the cluster width; a no-op at web scale where the
-    # file listing already yields >= parallelism splits. (inputFiles is a
-    # driver-side listing — no RDD conversion, unlike rdd.getNumPartitions.)
+    from .sinks import is_path_target, read_table
+
+    df = read_table(spark, path)
+    # Small test inputs produce fewer scan splits than the cluster width =>
+    # downstream kernels underparallelize. Size the fan-out check by BYTES,
+    # not file count: parquet is splittable by row group, so one large file
+    # can still yield many scan partitions — file count would force a
+    # pointless full-text repartition shuffle on it. A no-op at web scale
+    # where total_bytes / maxPartitionBytes >> parallelism.
     want = spark.sparkContext.defaultParallelism
-    if len(df.inputFiles()) < want:
+    total = None
+    if is_path_target(path):
+        import os
+
+        try:
+            files = [
+                f.removeprefix("file:") for f in df.inputFiles()
+            ]
+            local = [f for f in files if f.startswith("/")]
+            if local and len(local) == len(files):
+                total = sum(os.path.getsize(f) for f in local)
+        except OSError:
+            total = None
+    if total is not None:
+        max_part = _size_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+        if total // max_part + 1 < want:
+            df = df.repartition(want)
+    elif len(df.inputFiles()) < want:
         df = df.repartition(want)
     cols = set(df.columns)
     if {"url", "text"} <= cols:
@@ -236,6 +277,53 @@ def synth_documents(
     return (
         spark.range(0, n, 1, numPartitions=max(1, n // 2000))
         .mapInPandas(gen, DOCUMENTS_SCHEMA)
+    )
+
+
+def read_hf_dataset(
+    spark: SparkSession,
+    name: str,
+    split: str = "train",
+    text_key: str = "text",
+) -> DataFrame:
+    """TFDS/HF-datasets ingestion seam (reference scripts/load_dataset.py:
+    49-51 tfds.load; scripts/load_dataset_hf.py:51-90 datasets.load_dataset).
+
+    The container ships neither tensorflow-datasets nor huggingface
+    ``datasets`` — like ``functions.text.gpt2_tokenizer_udf`` this raises a
+    clear NotImplementedError at the exact integration point instead of
+    silently substituting. When the library is present: load the split,
+    lift ``text_key`` into the canonical documents frame (input-order
+    doc_ids — the reference's sequential uid, load_dataset.py:58).
+    """
+    try:
+        import datasets  # type: ignore
+    except ImportError as exc:
+        raise NotImplementedError(
+            "HF dataset ingestion needs the 'datasets' package (not in "
+            "this container). Use read_text_corpus for txt/jsonl/csv "
+            "globs or read_documents for parquet/Iceberg tables; at scale, "
+            "export the dataset to parquet and point read_documents at it."
+        ) from exc
+
+    ds = datasets.load_dataset(name, split=split)
+    if text_key not in ds.column_names:
+        raise ValueError(
+            f"no {text_key!r} column in {name}:{split} "
+            f"(columns: {ds.column_names})"
+        )
+    pdf = ds.to_pandas()[[text_key]].rename(columns={text_key: "text"})
+    raw = spark.createDataFrame(pdf)
+    d = assign_dense_ids(raw, order_col=None)
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit(f"hf://{name}/{split}/"), F.col("doc_id")
+        ).alias("url"),
+        F.lit(EPOCH).cast("timestamp").alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+        F.col("text").cast("string").alias("text"),
+        F.lit("und").alias("lang"),
     )
 
 
