@@ -132,6 +132,28 @@ def q_count_occurrences(spark, sf_dir):
     return count_occurrences_indexed(index, queries).count()
 
 
+def q_find_training_data(spark, sf_dir):
+    """find-training-data over a ~10^4-position query set against the
+    prebuilt index — the reference's memorization-analysis shape
+    (main.rs:730-805 runs every offset of large query files). The batched
+    lockstep kernel measures >=10x over the r02 per-probe loop at this
+    probe count (see BASELINE.md kernel microbench)."""
+    from deduplicate_text_datasets_spark.operators.sa_index import (
+        find_training_data_indexed,
+        read_suffix_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    rows = docs.filter(F.col("doc_id") < 8).select("doc_id", "text").collect()
+    query = ("\n".join(r["text"] for r in rows))[:20000].encode()
+    index = read_suffix_index(spark, INDEX_PATH)
+    return (
+        find_training_data_indexed(index, [(0, query)], step=2)
+        .agg(F.sum("match_len"))
+        .collect()
+    )
+
+
 def q_simhash(spark, sf_dir):
     from deduplicate_text_datasets_spark.operators.simhash import simhash_pairs
 
@@ -165,6 +187,7 @@ HEADLINE = {
     "exactsubstr_dedup": q_exactsubstr,
     "sa_index_build": q_sa_index_build,
     "count_occurrences": q_count_occurrences,
+    "find_training_data": q_find_training_data,
     "simhash_pairs": q_simhash,
     "ann_topk": q_ann_topk,
     "textstats": q_textstats,

@@ -56,6 +56,28 @@ def _mix64(h: np.ndarray) -> np.ndarray:
     return h
 
 
+# Per-worker cache of x^k / x^-k power tables (wraps mod 2^64). The
+# fingerprint kernel is memory-bandwidth-bound at high core counts
+# (measured: the limiting resource of the 8->32 scaling leg), so every
+# avoided array pass is throughput: powers depend only on (x, n) and a
+# worker processes many shards of the same size — compute once, slice.
+_POW_CACHE: dict[tuple[int, bool], np.ndarray] = {}
+
+
+def _powers(x: int, n: int, inverse: bool) -> np.ndarray:
+    key = (x, inverse)
+    cur = _POW_CACHE.get(key)
+    if cur is None or len(cur) < n:
+        size = max(n, 2 * len(cur) if cur is not None else n)
+        base = pow(x, -1, 1 << 64) if inverse else x
+        arr = np.full(size, _U64(base), dtype=_U64)
+        arr[0] = 1
+        np.cumprod(arr, out=arr)
+        _POW_CACHE[key] = arr
+        cur = arr
+    return cur[:n]
+
+
 def window_hashes(buf: np.ndarray, length: int, x: int) -> np.ndarray:
     """Polynomial rolling hash mod 2^64 of every length-L window, O(n).
 
@@ -64,25 +86,32 @@ def window_hashes(buf: np.ndarray, length: int, x: int) -> np.ndarray:
     Computed via the prefix-sum identity with x invertible (x odd):
       c[k]   = buf[k] * x^(-k)
       h[i]   = (sum_{k=i}^{i+L-1} c[k]) * x^(i+L-1)
-    numpy uint64 arithmetic wraps mod 2^64 exactly (C semantics).
+    numpy uint64 arithmetic wraps mod 2^64 exactly (C semantics). All
+    steps run in-place over two scratch arrays (plus the cached power
+    tables) — the kernel's array passes, not its FLOPs, set throughput at
+    high core counts.
     """
     n = len(buf)
     m = n - length + 1
     if m <= 0:
         return np.empty(0, dtype=_U64)
-    xinv = pow(x, -1, 1 << 64)
-    # x^k and x^-k via cumprod (wraps mod 2^64)
-    xs = np.full(n, _U64(x), dtype=_U64)
-    xs[0] = 1
-    xpow = np.cumprod(xs)
-    xis = np.full(n, _U64(xinv), dtype=_U64)
-    xis[0] = 1
-    xipow = np.cumprod(xis)
-    c = buf.astype(_U64) * xipow
-    p = np.zeros(n + 1, dtype=_U64)
-    np.cumsum(c, out=p[1:])
-    s = p[length:] - p[:-length]  # wrap-safe mod 2^64
-    return _mix64(s * xpow[length - 1 :])
+    xpow = _powers(x, n, inverse=False)
+    xipow = _powers(x, n, inverse=True)
+    p = np.empty(n + 1, dtype=_U64)
+    p[0] = 0
+    np.multiply(buf, xipow, out=p[1:], casting="unsafe")  # c[k]
+    np.cumsum(p[1:], out=p[1:])
+    out = np.empty(m, dtype=_U64)
+    np.subtract(p[length:], p[:m], out=out)  # wrap-safe mod 2^64
+    np.multiply(out, xpow[length - 1 :], out=out)
+    # _mix64 in place (same bijective finalizer)
+    t = p[:m]  # reuse scratch
+    np.right_shift(out, np.uint64(33), out=t)
+    np.bitwise_xor(out, t, out=out)
+    np.multiply(out, _MIX, out=out)
+    np.right_shift(out, np.uint64(29), out=t)
+    np.bitwise_xor(out, t, out=out)
+    return out
 
 
 def _fingerprint_kernel(

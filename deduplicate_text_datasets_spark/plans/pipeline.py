@@ -2,6 +2,14 @@
 dedup — the two halves of Lee et al. 2021, composed from the operator
 modules. Optionally checkpointed stage-by-stage (StageStore) so any stage
 resumes mid-run (north_rule).
+
+Cache lifetime contract: operators persist() intermediates that feed two
+consumers (shingles, fingerprints, LSH buckets); those cached frames stay
+registered until the session ends. A long-lived session invoking pipelines
+repeatedly on changing inputs should call ``spark.catalog.clearCache()``
+between invocations (bench.py's scaling legs do exactly this) — eager
+unpersist inside the operators would invalidate the frames before the
+caller has consumed the returned lazy DataFrames.
 """
 
 from __future__ import annotations

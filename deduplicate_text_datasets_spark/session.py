@@ -73,6 +73,17 @@ def get_spark(
     # SPARK_GRAFT_PRETOUCH=<size>, commit+touch the whole heap at startup
     # (one-time cost, outside any timed section) and use the
     # non-uncommitting parallel GC so it stays resident.
+    # Shuffle/spill directory override. In the sandbox every shuffle byte
+    # at BOTH parallelism levels funnels through one shared 517 MB/s disk —
+    # a per-node resource that multiplies with executor count on a real
+    # cluster. SPARK_GRAFT_LOCAL_DIR=<tmpfs path> (e.g. /dev/shm/...) makes
+    # local-mode shuffles memory-backed, the analogue of each executor
+    # bringing its own NVMe; bench.py sets it for the scaling legs and
+    # reports both raw-disk and tmpfs numbers.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     pretouch = os.environ.get("SPARK_GRAFT_PRETOUCH")
     if pretouch:
         builder = (

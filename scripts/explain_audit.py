@@ -57,6 +57,18 @@ def audit(name: str, df, allow_cartesian: bool = False) -> None:
         if _is_global(ln)
         and not any(k in ln for k in ("pid", "_pid", "_block"))
     ]
+    # count-over-window on data keys: a hot key pins every member in one
+    # unsplittable WindowExec partition (AQE cannot split a window, and
+    # there is no map-side partial agg). Sizing must be groupBy+join-back
+    # (minhash.candidate_pairs is the template). Partitioned-by-pid/_block
+    # windows are the sanctioned hierarchical-stats exception.
+    count_windows = [
+        ln
+        for ln in windows
+        if "count(" in ln
+        and not _is_global(ln)
+        and not any(k in ln for k in ("pid", "_pid", "_block"))
+    ]
     cartesian = "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p
     pushed = re.findall(r"PushedFilters: \[[^\]]*\]", p)
     codegen = len(re.findall(r"WholeStageCodegen", p))
@@ -67,6 +79,10 @@ def audit(name: str, df, allow_cartesian: bool = False) -> None:
     )
     assert not bad_windows, f"{name}: partition-less window:\n" + "\n".join(
         bad_windows
+    )
+    assert not count_windows, (
+        f"{name}: count-over-window on data keys (hot-key funnel; use "
+        "groupBy sizes + join-back):\n" + "\n".join(count_windows)
     )
     if not allow_cartesian:
         assert not cartesian, f"{name}: unexpected cartesian/nested-loop join"
@@ -108,6 +124,15 @@ def main() -> None:
     audit("simhash_pairs", simhash_pairs(docs, SimHashConfig()))
     audit("cosine_topk (broadcast q)", cosine_topk(emb, queries), allow_cartesian=True)
     audit("cosine_pairs lsh", cosine_pairs(emb, dim=64, threshold=0.5, bits=4))
+    from deduplicate_text_datasets_spark.operators.multimodal import (
+        exact_media_duplicates,
+    )
+
+    media = docs.selectExpr(
+        "doc_id", "'image' as media_type", "html as payload",
+        "cast(null as map<string,string>) as meta",
+    )
+    audit("exact_media_duplicates", exact_media_duplicates(media))
     print("explain audit: all structural assertions passed")
     spark.stop()
 

@@ -210,7 +210,7 @@ def test_sa_index_overlap_guard(spark, docs, tmp_path_factory):
     )
 
     cfg = ExactSubstrConfig(
-        length_threshold=100, shard_bytes=4096, overlap_bytes=64,
+        length_threshold=50, shard_bytes=4096, overlap_bytes=64,
         with_separators=True,
     )
     path = str(tmp_path_factory.mktemp("idx") / "sa")
