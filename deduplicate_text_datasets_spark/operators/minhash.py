@@ -91,6 +91,7 @@ def minhash_signatures(shingled: DataFrame, cfg: MinHashConfig) -> DataFrame:
     p = np.int64(MERSENNE31)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        v = np.empty(0, dtype=np.int64)  # reused scratch across perms
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -102,9 +103,22 @@ def minhash_signatures(shingled: DataFrame, cfg: MinHashConfig) -> DataFrame:
             starts = np.zeros(len(pdf), dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])
             sigs = np.empty((len(pdf), k), dtype=np.int64)
+            if len(v) < len(h32):
+                v = np.empty(len(h32), dtype=np.int64)
+            w = v[: len(h32)]
             for j in range(k):
-                v = (h32 * a[j] + b[j]) % p
-                sigs[:, j] = np.minimum.reduceat(v, starts)
+                # (h*a + b) mod 2^31-1 WITHOUT integer division: for the
+                # Mersenne prime p, x mod p folds as (x>>31)+(x&p); two
+                # folds bring x < 2^62 down below 2^32, then a conditional
+                # subtract finishes. Exactness is pytest-gated against the
+                # literal % p (test_minhash_signatures_exact_frame).
+                np.multiply(h32, a[j], out=w)
+                np.add(w, b[j], out=w)
+                for _ in range(2):
+                    np.add(w >> np.int64(31), w & p, out=w)
+                np.subtract(w, p, out=w, where=w >= p)
+                np.subtract(w, p, out=w, where=w >= p)
+                sigs[:, j] = np.minimum.reduceat(w, starts)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].to_numpy(), "sig": list(sigs)}
             )
