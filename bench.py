@@ -456,7 +456,7 @@ def main() -> None:
         # same widths.
         try:
             result["scaling_scaleup"] = run_scaling(
-                SF_DIR, levels=(8, 32), rounds=2
+                SF_DIR, n_docs=4000, levels=(8, 32), rounds=2
             )
         except Exception as exc:
             result["scaling_scaleup"] = {"error": str(exc)[:200]}
