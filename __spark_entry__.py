@@ -166,6 +166,16 @@ def _q_count_occurrences_indexed(spark, sf_dir):
     return out.select("query_id", F.col("count").alias("n_matches"))
 
 
+def _q_contains(spark, sf_dir):
+    """Membership probe (O7, is_present_memory main.rs:442-485): per-shard
+    SA range lookup short-circuited to a boolean."""
+    from deduplicate_text_datasets_spark.operators.suffix import contains
+
+    return contains(
+        _docs(spark, sf_dir), _count_query_list(spark, sf_dir), EXACT_CFG
+    )
+
+
 def _q_self_similar_ranges(spark, sf_dir):
     from deduplicate_text_datasets_spark.operators.intervals import (
         coalesce_positions,
@@ -331,6 +341,27 @@ def _q_find_training_data(spark, sf_dir):
     return find_training_data(docs, q, SS_CFG, probe_cap=256)
 
 
+def _q_tokenized_self_similar(spark, sf_dir):
+    """Token-mode ExactSubstr (reference --tokenize, README.md:74,125):
+    self-similar over the packed-u16 corpus, byte threshold = 2 x token
+    threshold. Rows-only here (the hash vocabulary uses xxhash64, not
+    expressible in DuckDB); byte-exact pyref parity is pytest-gated
+    (tests/test_round3.py::test_tokenized_self_similar_matches_pyref)."""
+    from deduplicate_text_datasets_spark.functions.text import (
+        tokenized_documents,
+    )
+    from deduplicate_text_datasets_spark.operators.suffix import self_similar
+
+    tok = tokenized_documents(_docs(spark, sf_dir))
+    cfg = ExactSubstrConfig(
+        length_threshold=100,  # 50 tokens
+        shard_bytes=32768,
+        overlap_bytes=1024,
+        with_separators=True,
+    )
+    return self_similar(tok, cfg).select("pos", "cluster_id", "cluster_size")
+
+
 def _q_embedding_cosine_pairs(spark, sf_dir):
     from deduplicate_text_datasets_spark.operators.ann import cosine_pairs
 
@@ -363,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_clusters": _q_cc_clusters,
         "count_occurrences": _q_count_occurrences,
         "count_occurrences_indexed": _q_count_occurrences_indexed,
+        "contains": _q_contains,
         "self_similar_ranges": _q_self_similar_ranges,
         "self_similar_positions": _q_self_similar_positions,
         "interval_coalesce": _q_interval_coalesce,
@@ -377,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "deduped_docs": _q_deduped_docs,
         "find_training_data": _q_find_training_data,
+        "tokenized_self_similar": _q_tokenized_self_similar,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "across_similar_positions": _q_across_similar_positions,
     }
@@ -415,6 +448,27 @@ def oracle_sql() -> dict[str, str]:
   FROM documents dd, UNNEST(range(1, strlen(dd.text) + 1)) t(i)"""
     )
     count_sql = " UNION ALL ".join(count_parts)
+
+    # membership probe: EXISTS over per-doc substring search (separator
+    # bytes can't appear in a pure-text query, same argument as above)
+    contains_parts = []
+    for qid, d, start, ln in _COUNT_QUERIES:
+        contains_parts.append(
+            f"""
+  SELECT {qid} AS query_id, COALESCE((
+    SELECT true FROM documents dd
+    WHERE position((SELECT substr(text, {start}, {ln})
+                    FROM documents WHERE doc_id = {d}) IN dd.text) > 0
+    LIMIT 1), false) AS present"""
+        )
+    contains_parts.append(
+        f"""
+  SELECT {_ABSENT_QUERY[0]} AS query_id, COALESCE((
+    SELECT true FROM documents dd
+    WHERE position('{_ABSENT_QUERY[1]}' IN dd.text) > 0
+    LIMIT 1), false) AS present"""
+    )
+    contains_sql = " UNION ALL ".join(contains_parts)
 
     from fractions import Fraction
 
@@ -462,6 +516,7 @@ WITH RECURSIVE edges AS (
 SELECT n AS node, LEAST(n, MIN(m)) AS component FROM reach GROUP BY n ORDER BY node""",
         "count_occurrences": count_sql,
         "count_occurrences_indexed": count_sql,
+        "contains": contains_sql,
         "self_similar_ranges": self_similar_core
         + """,
 flagged AS (
