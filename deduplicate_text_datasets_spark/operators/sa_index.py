@@ -10,7 +10,13 @@ shard. This module is the missing build-once artifact.
 Layout — one parquet row per shard:
 
     suffix_index(shard_id long, lo long, own_hi long,
-                 buf binary, sa binary)
+                 buf binary, sa binary,
+                 shard_bytes long, overlap_bytes long,
+                 with_separators boolean)
+
+The trailing build-config columns let readers validate queries against the
+overlap guarantee (a query longer than overlap_bytes+1 would undercount
+boundary-straddling occurrences — the indexed query operators raise).
 
 ``buf`` is the shard's corpus bytes including the trailing overlap
 (HACKSIZE design, make_suffix_array.py:23,47); ``sa`` is the suffix array

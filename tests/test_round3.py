@@ -186,6 +186,33 @@ def test_batched_match_lens_zero_bytes_and_long_dup():
     assert np.array_equal(got, want)
 
 
+def test_window_hashes_power_cache_growth():
+    """The per-worker power-table cache serves different buffer sizes by
+    slicing; growth and shrink paths must agree with a fresh computation."""
+    from deduplicate_text_datasets_spark.config import ROLLHASH_X1
+    from deduplicate_text_datasets_spark.operators.suffix import (
+        _POW_CACHE,
+        window_hashes,
+    )
+
+    rng = np.random.RandomState(11)
+    _POW_CACHE.clear()
+    b200 = rng.randint(0, 256, 200).astype(np.uint8)
+    h_cold = window_hashes(b200, 9, ROLLHASH_X1).copy()
+    # shrink (cache larger than needed) then grow (cache must extend)
+    h_small = window_hashes(b200[:80], 9, ROLLHASH_X1).copy()
+    b400 = np.concatenate([b200, rng.randint(0, 256, 200).astype(np.uint8)])
+    h_big = window_hashes(b400, 9, ROLLHASH_X1).copy()
+    _POW_CACHE.clear()
+    assert np.array_equal(window_hashes(b200, 9, ROLLHASH_X1), h_cold)
+    _POW_CACHE.clear()
+    assert np.array_equal(window_hashes(b200[:80], 9, ROLLHASH_X1), h_small)
+    _POW_CACHE.clear()
+    assert np.array_equal(window_hashes(b400, 9, ROLLHASH_X1), h_big)
+    # prefix property: windows fully inside the shared prefix hash equal
+    assert np.array_equal(h_big[: len(h_cold)], h_cold)
+
+
 def test_suffix_array_adversarial_dup_heavy():
     rng = np.random.RandomState(3)
     base = rng.randint(0, 5, 700).astype(np.uint8)
