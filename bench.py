@@ -431,11 +431,28 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     _docs(spark, SF_DIR).cache().count()  # shared scan+repartition, warm workers
+    # Min over rounds per query: the host's multi-minute contention
+    # episodes hit single-shot legs for up to 10x (measured: textstats
+    # 1.5 s vs 20.6 s in back-to-back runs). Intermediate caches are
+    # cleared between rounds so every attempt recomputes the full
+    # pipeline; only the shared docs scan stays warm (as in round 1 of
+    # the original single-shot protocol).
+    rounds = int(os.environ.get("SPARK_GRAFT_HEADLINE_ROUNDS", "2"))
     queries = {}
+    first_attempt = {}
     for name, fn in HEADLINE.items():
-        t0 = time.time()
-        fn(spark, SF_DIR)
-        queries[name] = round(time.time() - t0, 3)
+        best = None
+        for r in range(rounds):
+            if r > 0:
+                spark.catalog.clearCache()
+                _docs(spark, SF_DIR).cache().count()
+            t0 = time.time()
+            fn(spark, SF_DIR)
+            wall = time.time() - t0
+            if r == 0:
+                first_attempt[name] = round(wall, 3)
+            best = wall if best is None else min(best, wall)
+        queries[name] = round(best, 3)
         print(f"[bench] {name}: {queries[name]}s", file=sys.stderr)
     spark.stop()
     result = {
@@ -443,6 +460,10 @@ def main() -> None:
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
+        # single-shot walls of attempt 0 (the r02-comparable protocol;
+        # includes per-plan codegen compile + any contention episode) —
+        # kept so both protocols stay visible side by side
+        "queries_first_attempt": first_attempt,
         "sf": float(sf),
     }
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
