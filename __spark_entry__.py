@@ -362,6 +362,35 @@ def _q_tokenized_self_similar(spark, sf_dir):
     return self_similar(tok, cfg).select("pos", "cluster_id", "cluster_size")
 
 
+def _q_tokenized_deduped_docs(spark, sf_dir):
+    """Token-mode ExactSubstr END TO END incl. strike-out (reference
+    --tokenize + finish_single_file.py splice: the packed byte file is
+    spliced regardless of encoding). Rows-only here (hash vocabulary uses
+    xxhash64, not expressible in DuckDB); byte-exact splice parity vs
+    oracle/pyref is pytest-gated
+    (tests/test_round4.py::test_tokenized_exactsubstr_dedup_e2e)."""
+    from deduplicate_text_datasets_spark.functions.text import (
+        tokenized_documents,
+    )
+    from deduplicate_text_datasets_spark.plans.pipeline import (
+        exactsubstr_dedup,
+    )
+
+    tok = tokenized_documents(_docs(spark, sf_dir))
+    cfg = ExactSubstrConfig(
+        length_threshold=100,  # 50 tokens
+        shard_bytes=32768,
+        overlap_bytes=1024,
+        with_separators=True,
+    )
+    _, deduped = exactsubstr_dedup(tok, EngineConfig(exact=cfg))
+    return deduped.select(
+        "doc_id",
+        F.sha2("deduped", 256).alias("sha"),
+        F.octet_length("deduped").cast("long").alias("n_bytes"),
+    )
+
+
 def _q_embedding_cosine_pairs(spark, sf_dir):
     from deduplicate_text_datasets_spark.operators.ann import cosine_pairs
 
@@ -410,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deduped_docs": _q_deduped_docs,
         "find_training_data": _q_find_training_data,
         "tokenized_self_similar": _q_tokenized_self_similar,
+        "tokenized_deduped_docs": _q_tokenized_deduped_docs,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "across_similar_positions": _q_across_similar_positions,
     }

@@ -427,6 +427,100 @@ def run_scaling(
     return out
 
 
+def run_stress(n_docs: int | None = None) -> dict:
+    """Scale-stress evidence beyond sf0.1 (round-3 verdict #6): the two
+    flagship pipelines on a ~10x fixture corpus at the PRODUCTION 64 MiB
+    shard width, recording docs/sec, corpus bytes, total + peak-stage
+    shuffle bytes (exact task metrics via the UI REST API), and the
+    oversized-bucket skew counter. Opt-in (`python bench.py --stress`) —
+    not part of the per-round headline suite.
+    """
+    import dataclasses
+    import urllib.request
+
+    from deduplicate_text_datasets_spark.config import PRODUCTION_SHARD_BYTES
+
+    n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_STRESS_DOCS", "80000"))
+    spark = get_spark("bench-stress", extra={"spark.ui.enabled": "true"})
+    base = "http://localhost:4040/api/v1/applications"
+    app_id = json.load(urllib.request.urlopen(base))[0]["id"]
+
+    def stages():
+        return json.load(urllib.request.urlopen(f"{base}/{app_id}/stages"))
+
+    def shuffle_snapshot():
+        st = stages()
+        return (
+            sum(s.get("shuffleWriteBytes", 0) for s in st),
+            {s["stageId"]: s.get("shuffleWriteBytes", 0) for s in st},
+        )
+
+    docs = _scaling_docs(spark, n_docs).repartition(3 * CPUS).cache()
+    n = docs.count()
+    total = int(
+        docs.agg(F.sum(F.octet_length("text") + 6).alias("t")).collect()[0]["t"]
+    )
+    cfg = dataclasses.replace(BENCH_EXACT, shard_bytes=PRODUCTION_SHARD_BYTES)
+    out: dict = {"docs": n, "corpus_bytes": total, "shard_bytes": cfg.shard_bytes}
+
+    from deduplicate_text_datasets_spark.plans.pipeline import (
+        exactsubstr_dedup,
+        neardup_clusters,
+    )
+
+    w0, s0 = shuffle_snapshot()
+    t0 = time.time()
+    ranges, deduped = exactsubstr_dedup(docs, EngineConfig(exact=cfg))
+    n_deduped = deduped.count()
+    wall = time.time() - t0
+    time.sleep(1.0)
+    w1, s1 = shuffle_snapshot()
+    out["exactsubstr"] = {
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": round(n / wall, 1),
+        "bytes_per_sec": round(total / wall, 1),
+        "rows_out": n_deduped,
+        "remove_ranges": ranges.count(),
+        "shuffle_write_bytes": w1 - w0,
+        "peak_stage_shuffle_bytes": max(
+            (v - s0.get(k, 0) for k, v in s1.items()), default=0
+        ),
+    }
+    spark.catalog.clearCache()
+    docs = docs.persist()
+    docs.count()
+
+    w0, s0 = shuffle_snapshot()
+    t0 = time.time()
+    n_clusters = neardup_clusters(docs, EngineConfig()).count()
+    wall = time.time() - t0
+    time.sleep(1.0)
+    w1, s1 = shuffle_snapshot()
+    from deduplicate_text_datasets_spark.operators.minhash import (
+        doc_shingles,
+        lsh_buckets,
+        minhash_signatures,
+        oversized_buckets,
+    )
+
+    mh = MinHashConfig()
+    n_oversized = oversized_buckets(
+        lsh_buckets(minhash_signatures(doc_shingles(docs, mh), mh), mh), mh
+    ).count()
+    out["neardup"] = {
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": round(n / wall, 1),
+        "rows_out": n_clusters,
+        "oversized_buckets_dropped": n_oversized,
+        "shuffle_write_bytes": w1 - w0,
+        "peak_stage_shuffle_bytes": max(
+            (v - s0.get(k, 0) for k, v in s1.items()), default=0
+        ),
+    }
+    spark.stop()
+    return out
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
@@ -495,5 +589,8 @@ if __name__ == "__main__":
     os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "6g")
     if len(sys.argv) >= 3 and sys.argv[1] == "--leg":
         print(json.dumps(scaling_leg(int(sys.argv[2]), int(sys.argv[3]))))
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--stress":
+        n = int(sys.argv[2]) if len(sys.argv) >= 3 else None
+        print(json.dumps({"stress": run_stress(n)}))
     else:
         main()

@@ -25,6 +25,12 @@ ROLLHASH_X2 = 0xC2B2AE3D27D4EB4F | 1
 # each doc is prefixed with b"\xff\xff" + struct.pack("<I", uid) = 6 bytes.
 SEP_BYTES = 6
 
+# Production ExactSubstr shard width (the ExactSubstrConfig.shard_bytes
+# default): shard text + fingerprint/SA working set (~25 bytes/byte) fits
+# one executor core at 64 MiB. bench.py --stress runs at exactly this
+# width so the recorded throughput reflects the production layout.
+PRODUCTION_SHARD_BYTES = 64 * 1024 * 1024
+
 
 @dataclass(frozen=True)
 class ExactSubstrConfig:
@@ -49,7 +55,7 @@ class ExactSubstrConfig:
 
     length_threshold: int = 100
     frequency_threshold: int = 0
-    shard_bytes: int = 64 * 1024 * 1024
+    shard_bytes: int = PRODUCTION_SHARD_BYTES
     overlap_bytes: int = 1024
     with_separators: bool = True
 

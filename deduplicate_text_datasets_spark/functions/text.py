@@ -137,8 +137,10 @@ def gpt2_tokenizer_udf():
     return make_tokenizer_udf(batch)
 
 
-def tokenize_corpus(docs, tokenizer=None, text_col: str = "text"):
-    """documents -> (doc_id, token_ids array<int>, packed binary).
+def tokenize_corpus(
+    docs, tokenizer=None, text_col: str = "text", keep_cols: tuple = ()
+):
+    """documents -> (doc_id, *keep_cols, token_ids array<int>, packed binary).
 
     ``packed`` is the reference's on-disk tokenized layout: little-endian
     uint16 per token (load_dataset.py:63-69), so every byte-level operator
@@ -170,17 +172,21 @@ def tokenize_corpus(docs, tokenizer=None, text_col: str = "text"):
 
         return id_lists.map(pack_one)
 
-    out = docs.select("doc_id", ids.alias("token_ids"))
+    out = docs.select("doc_id", *keep_cols, ids.alias("token_ids"))
     return out.withColumn("packed", _pack(F.col("token_ids")))
 
 
 def tokenized_documents(docs, tokenizer=None, text_col: str = "text"):
-    """documents -> (doc_id, text: binary) where ``text`` is the packed
-    u16 token corpus — a drop-in input for every ExactSubstr operator
-    (with_offsets / self_similar / count_occurrences / find_training_data
-    consume str or bytes alike). Token-mode rules (README.md:74,125;
-    main.rs:762-768): length thresholds DOUBLE in bytes (50 tokens = 100
-    bytes) and find_training_data runs with step=2, its qpos being byte
-    offsets = 2 x token offsets."""
-    t = tokenize_corpus(docs, tokenizer, text_col)
-    return t.select("doc_id", F.col("packed").alias("text"))
+    """documents -> (doc_id[, url], text: binary) where ``text`` is the
+    packed u16 token corpus — a drop-in input for every ExactSubstr
+    operator (with_offsets / self_similar / count_occurrences /
+    find_training_data / apply_removals consume str or bytes alike).
+    ``url`` rides along when the input has it (projected in the same
+    select — no join) so the full exactsubstr_dedup pipeline, including
+    strike-out, runs token-mode end to end. Token-mode rules
+    (README.md:74,125; main.rs:762-768): length thresholds DOUBLE in bytes
+    (50 tokens = 100 bytes) and find_training_data runs with step=2, its
+    qpos being byte offsets = 2 x token offsets."""
+    keep = ("url",) if "url" in docs.columns else ()
+    t = tokenize_corpus(docs, tokenizer, text_col, keep_cols=keep)
+    return t.select("doc_id", *keep, F.col("packed").alias("text"))

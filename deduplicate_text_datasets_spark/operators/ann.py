@@ -252,15 +252,13 @@ def cosine_pairs(
             .filter(F.col("a") < F.col("b"))
         )
     elif method == "lsh":
-        from pyspark import StorageLevel
+        from ..plans.caching import scoped_persist
 
         if tables is None:
             tables = lsh_tables_for(threshold, bits, target_recall)
         # consumed by the size agg and the bucket self-join — persist so the
-        # hyperplane kernel runs once
-        b = hyperplane_bands(emb, dim, tables, bits, vec_col).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        # hyperplane kernel runs once (scope-registered, plans.caching)
+        b = scoped_persist(hyperplane_bands(emb, dim, tables, bits, vec_col))
         sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsize"))
         sized = b.join(
             sizes.filter(

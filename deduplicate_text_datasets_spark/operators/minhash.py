@@ -153,11 +153,12 @@ def candidate_pairs(buckets: DataFrame, cfg: MinHashConfig) -> DataFrame:
     AQE skew-join splitting applies — neither holds for a WindowExec
     partition, which is why this is not a count-over-window.
     """
-    from pyspark import StorageLevel
+    from ..plans.caching import scoped_persist
 
     # two consumers (size agg + join) — persist or the upstream signature
-    # kernel re-executes for each
-    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+    # kernel re-executes for each; scope-registered (plans.caching) so a
+    # cache_scope() caller reclaims it
+    buckets = scoped_persist(buckets)
     sizes = buckets.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("bsize")
     )
@@ -244,11 +245,9 @@ def near_duplicate_edges(
     (measured as the dominant cost of the round-1 bench). MEMORY_AND_DISK
     so an executor that can't hold its slice spills instead of recomputing.
     """
-    from pyspark import StorageLevel
+    from ..plans.caching import scoped_persist
 
-    shingled = doc_shingles(docs, cfg, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    shingled = scoped_persist(doc_shingles(docs, cfg, text_col))
     sigs = minhash_signatures(shingled, cfg)
     pairs = candidate_pairs(lsh_buckets(sigs, cfg), cfg)
     return verify_pairs(pairs, shingled, cfg)

@@ -32,9 +32,9 @@ def jaccard_pairs(
     the inverted index (stopword-shingle skew guard; identical policy to the
     LSH bucket cap). Output: (a, b, inter, size_a, size_b) — integers only.
     """
-    from pyspark import StorageLevel
+    from ..plans.caching import scoped_persist
 
-    sh = doc_shingles(docs, cfg, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = scoped_persist(doc_shingles(docs, cfg, text_col))
     sizes = sh.select("doc_id", F.size("sh").alias("nsh"))
     inv = sh.select("doc_id", F.explode("sh").alias("g"))
     # document frequency per shingle via groupBy (map-side partial agg; a
@@ -47,7 +47,7 @@ def jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("df"))
         .filter((F.col("df") >= 2) & (F.col("df") <= max_shingle_df))
     )
-    inv = inv.join(dfc.select("g"), "g").persist(StorageLevel.MEMORY_AND_DISK)
+    inv = scoped_persist(inv.join(dfc.select("g"), "g"))
     a = inv.select(F.col("g").alias("g"), F.col("doc_id").alias("a"))
     b = inv.select(F.col("g").alias("g"), F.col("doc_id").alias("b"))
     inter = (

@@ -73,6 +73,19 @@ SA_INDEX_SCHEMA = T.StructType(
 )
 
 
+def _index_overlap_bytes(index: DataFrame) -> int | None:
+    """min(overlap_bytes) of the index, aggregated ONCE per DataFrame
+    object and memoized on it — an index's build config never changes, so
+    repeated query batches against the same frame must not re-run a full
+    one-column index scan per call (round-3 ADVICE)."""
+    memo = getattr(index, "_sa_overlap_memo", None)
+    if memo is None:
+        overlap = index.agg(F.min("overlap_bytes")).collect()[0][0]
+        memo = (int(overlap) if overlap is not None else None,)
+        index._sa_overlap_memo = memo
+    return memo[0]
+
+
 def _check_query_lengths(index: DataFrame, queries: list[tuple[int, bytes]]) -> None:
     """A query longer than overlap_bytes+1 can straddle a shard-ownership
     boundary without being resident in the owning shard's buffer — the
@@ -84,7 +97,7 @@ def _check_query_lengths(index: DataFrame, queries: list[tuple[int, bytes]]) -> 
     max_q = max((len(q) for _, q in queries), default=0)
     if max_q == 0:
         return
-    overlap = index.agg(F.min("overlap_bytes")).collect()[0][0]
+    overlap = _index_overlap_bytes(index)
     if overlap is not None and max_q > int(overlap) + 1:
         raise ValueError(
             f"query of {max_q} bytes exceeds the index's overlap_bytes+1="

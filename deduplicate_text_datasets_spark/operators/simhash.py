@@ -97,12 +97,13 @@ def simhash_candidates(
     are the norm, and a WindowExec partition can neither be split by AQE
     nor partially aggregated. Same shape as minhash.candidate_pairs.
     """
-    from pyspark import StorageLevel
+    from ..plans.caching import scoped_persist
 
     blocks = _blocks(cfg)
     # two consumers (size agg + join-back) — persist or the fingerprint
-    # kernel re-executes for each
-    exploded = fingerprints.select(
+    # kernel re-executes for each; scope-registered (plans.caching) so a
+    # cache_scope() caller reclaims it after its actions complete
+    exploded = scoped_persist(fingerprints.select(
         "doc_id",
         "fingerprint",
         F.posexplode(
@@ -115,7 +116,7 @@ def simhash_candidates(
                 ]
             )
         ).alias("block", "value"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     sizes = exploded.groupBy("block", "value").agg(
         F.count(F.lit(1)).alias("bsize")
     )

@@ -72,13 +72,32 @@ def apply_removals(
     deduped output per url vs the reference splice semantics; ``deduped``
     is therefore BinaryType (a byte deletion may split a multi-byte UTF-8
     sequence, exactly as the reference's byte-level strike does).
+
+    ``text`` may be a string column (byte-level corpus) or a binary column
+    (tokenized mode: the packed-u16 corpus from
+    functions.text.tokenized_documents). The reference's splice operates on
+    the packed byte file regardless of encoding (finish_single_file.py:
+    20-37), so in token mode the spans are byte spans over the packed
+    layout (token offsets x2, README.md:125) and a span may legally cut a
+    token in half — exactly as the reference's byte-level strike can.
     """
+    text_is_binary = isinstance(
+        docs_with_offsets.schema["text"].dataType, T.BinaryType
+    )
     spans = (
         doc_spans(docs_with_offsets, remove_ranges, cfg)
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("a", "b"))).alias("spans"))
     )
-    docs = docs_with_offsets.select("doc_id", "url", "text")
+    docs = docs_with_offsets.select(
+        "doc_id",
+        (
+            F.col("url")
+            if "url" in docs_with_offsets.columns
+            else F.lit(None).cast("string")
+        ).alias("url"),
+        "text",
+    )
     touched = docs.join(spans, "doc_id")
 
     def splice(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -87,7 +106,11 @@ def apply_removals(
             for doc_id, url, text, spans_ in zip(
                 pdf["doc_id"], pdf["url"], pdf["text"], pdf["spans"]
             ):
-                raw = text.encode("utf-8")
+                raw = (
+                    bytes(text)
+                    if isinstance(text, (bytes, bytearray))
+                    else text.encode("utf-8")
+                )
                 # right-to-left so earlier offsets stay valid
                 # (finish_dedup_wiki40b.py:66-69)
                 for s in sorted(spans_, key=lambda r: r["a"], reverse=True):
@@ -97,6 +120,10 @@ def apply_removals(
 
     struck = touched.mapInPandas(splice, STRIKE_SCHEMA)
     untouched = docs.join(spans.select("doc_id"), "doc_id", "left_anti").select(
-        "doc_id", "url", F.encode("text", "UTF-8").alias("deduped")
+        "doc_id",
+        "url",
+        (
+            F.col("text") if text_is_binary else F.encode("text", "UTF-8")
+        ).alias("deduped"),
     )
     return struck.unionByName(untouched)

@@ -161,8 +161,11 @@ def window_fingerprints(
     position). ``docs`` may already carry offsets; if not they are added."""
     if "byte_start" not in docs.columns:
         # cache: the offsets frame feeds both the total-bytes action and the
-        # fingerprint job (avoids recomputing the cumsum windows)
-        docs = with_offsets(docs, cfg.with_separators).cache()
+        # fingerprint job (avoids recomputing the cumsum windows);
+        # scope-registered so a cache_scope() caller reclaims it
+        from ..plans.caching import scoped_persist
+
+        docs = scoped_persist(with_offsets(docs, cfg.with_separators))
     if total is None:
         total = corpus_total_bytes(docs)
     shards = assign_shards(docs, cfg.shard_bytes, cfg.overlap_bytes)
@@ -214,6 +217,7 @@ def self_similar(
     cfg: ExactSubstrConfig,
     total: int | None = None,
     persist_fp: bool | None = None,
+    copartition: bool | None = None,
 ) -> DataFrame:
     """documents -> duplicates(pos, cluster_id, cluster_size).
 
@@ -229,17 +233,40 @@ def self_similar(
       storage traffic. Right on storage-bandwidth-bound hosts (this
       sandbox's single shared disk) when the doc frame is already cached.
 
-    Env override for benches: SPARK_GRAFT_FP_PERSIST=0/1.
+    copartition=True (default, with persist_fp): hash-repartition the
+    persisted frame by (h1, h2) BEFORE caching, so BOTH consumers are
+    already clustered on the group key — the stats agg runs exchange-free
+    (HashPartitioning(h1,h2) satisfies its ClusteredDistribution) and the
+    join-back co-locates without re-shuffling the fingerprint side (the
+    initial adaptive plan may still carry ENSURE exchanges — AQE elides
+    them at runtime once the cache materializes). Net: ONE 24 B/position
+    exchange total, vs the partial-agg exchange (~32 B/position:
+    mostly-unique keys defeat map-side combine) PLUS a possible
+    24 B/position join exchange when the dup-key frame outgrows broadcast
+    (boilerplate-heavy webtext at 100 TB). Measured: 1.79x fewer exchange
+    bytes and 1.43x wall in the no-broadcast regime, parity (+8%) when
+    the dup-key frame broadcasts — scripts/measure_exchange.py,
+    BASELINE.md round-4 section; output parity pinned by
+    tests/test_round4.py.
+
+    Env overrides for benches: SPARK_GRAFT_FP_PERSIST=0/1,
+    SPARK_GRAFT_FP_COPART=0/1.
     """
     import os
 
-    from pyspark import StorageLevel
+    from ..plans.caching import scoped_persist
 
     if persist_fp is None:
         persist_fp = os.environ.get("SPARK_GRAFT_FP_PERSIST", "1") != "0"
+    if copartition is None:
+        copartition = os.environ.get("SPARK_GRAFT_FP_COPART", "1") != "0"
     fp = window_fingerprints(docs, cfg, total)
+    if copartition and persist_fp:
+        # only with persist: uncached, each consumer would re-run the
+        # repartition exchange anyway (no saving over the status quo)
+        fp = fp.repartition("h1", "h2")
     if persist_fp:
-        fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
+        fp = scoped_persist(fp)
     return find_duplicates(fp, cfg)
 
 
@@ -366,6 +393,16 @@ def suffix_array(buf: np.ndarray) -> np.ndarray:
         return np.empty(0, dtype=np.int64)
     if _divsufsort is not None:
         return np.asarray(_divsufsort(buf), dtype=np.int64)
+    if n >= (1 << 32) - 1:
+        # the doubling rounds pack rank+1 (< n+1) into the low 32 bits of a
+        # uint64 key; at n >= 2^32-1 that lane overflows and the sort would
+        # silently corrupt. Unreachable under the 64 MiB production shard
+        # cap (config.ExactSubstrConfig.shard_bytes) — fail loudly if a
+        # future config change lifts it.
+        raise ValueError(
+            f"suffix_array fallback supports shard buffers < 2^32-1 bytes "
+            f"(got {n}); shrink shard_bytes or install pydivsufsort"
+        )
     # round 0: rank by first 4 bytes via sentinel lanes (b+1, 0-padded)
     ext = np.concatenate(
         [buf.astype(np.uint64) + np.uint64(1), np.zeros(4, dtype=np.uint64)]

@@ -1,0 +1,80 @@
+"""Scoped cache lifecycle for operator-persisted intermediates.
+
+Operators persist() frames that feed two consumers (shingles, LSH buckets,
+window fingerprints, ...). Those frames must stay cached until the CALLER
+has consumed the returned lazy DataFrames — eager unpersist inside an
+operator would invalidate them first — so operators alone cannot bound
+cache growth. In a long-lived session (a service invoking pipelines
+repeatedly on changing inputs) the cached frames would otherwise
+accumulate until someone calls spark.catalog.clearCache().
+
+``cache_scope()`` closes that gap: every frame persisted through
+``scoped_persist`` (which all operator modules use) while a scope is
+active on the current thread is registered with the innermost scope and
+unpersisted when the scope exits. Consume inside the scope:
+
+    with cache_scope():
+        ranges, deduped = exactsubstr_dedup(docs, cfg)
+        deduped.write.parquet(out)          # actions happen in-scope
+    # <- all operator-persisted intermediates are now unpersisted
+
+Without an active scope the behaviour is unchanged (frames stay persisted
+for the session; callers may clearCache() between invocations — bench.py's
+scaling legs do exactly that).
+
+Storage memory at scale: unpersist(blocking=False) only unlinks the
+blocks; executors evict lazily under their normal LRU pressure, so scope
+exit is O(#frames) driver work, never a cluster barrier.
+"""
+
+from __future__ import annotations
+
+import threading
+from contextlib import contextmanager
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+_local = threading.local()
+
+
+def _stack() -> list[list[DataFrame]]:
+    st = getattr(_local, "stack", None)
+    if st is None:
+        st = []
+        _local.stack = st
+    return st
+
+
+def scoped_persist(
+    df: DataFrame,
+    level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+) -> DataFrame:
+    """persist(df, level); if a cache_scope is active on this thread, the
+    frame is unpersisted automatically at scope exit."""
+    out = df.persist(level)
+    st = _stack()
+    if st:
+        st[-1].append(out)
+    return out
+
+
+@contextmanager
+def cache_scope():
+    """Bound the lifetime of operator-persisted intermediates to a block.
+
+    Scopes nest: each frame belongs to the innermost scope active when it
+    was persisted. Yields the (mutable) list of registered frames, mostly
+    useful for tests/observability.
+    """
+    frames: list[DataFrame] = []
+    _stack().append(frames)
+    try:
+        yield frames
+    finally:
+        _stack().pop()
+        for df in frames:
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass  # session already stopped — nothing to release

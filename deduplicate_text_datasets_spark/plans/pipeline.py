@@ -4,15 +4,21 @@ modules. Optionally checkpointed stage-by-stage (StageStore) so any stage
 resumes mid-run (north_rule).
 
 Cache lifetime contract: operators persist() intermediates that feed two
-consumers (shingles, fingerprints, LSH buckets); those cached frames stay
-registered until the session ends. A long-lived session invoking pipelines
-repeatedly on changing inputs should call ``spark.catalog.clearCache()``
-between invocations (bench.py's scaling legs do exactly this) — eager
-unpersist inside the operators would invalidate the frames before the
-caller has consumed the returned lazy DataFrames.
+consumers (shingles, fingerprints, LSH buckets) through
+``plans.caching.scoped_persist``. Wrap pipeline construction AND the
+consuming actions in ``plans.caching.cache_scope()`` and every such frame
+is unpersisted at scope exit — the supported pattern for long-lived
+sessions invoking pipelines repeatedly on changing inputs. Outside a
+scope the frames stay registered until the session ends (callers may
+``spark.catalog.clearCache()`` between invocations — bench.py's scaling
+legs do exactly this). Eager unpersist inside the operators would
+invalidate the frames before the caller has consumed the returned lazy
+DataFrames, hence the scope, not per-operator cleanup.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -83,19 +89,16 @@ def exactsubstr_dedup(
     One Spark job graph: offsets -> overlap shards -> window fingerprints ->
     global cluster groupBy -> coalesce -> interval join -> strike.
     """
-    from pyspark import StorageLevel
+    from .caching import scoped_persist
 
-    d = with_offsets(docs, cfg.exact.with_separators)
-    d = d.cache()
+    d = scoped_persist(with_offsets(docs, cfg.exact.with_separators))
     total = corpus_total_bytes(d)
 
     def build_dups() -> DataFrame:
         # persisted: coalesce_positions' repartitionByRange runs a sampling
         # job over its input before the real exchange — uncached, that
         # sampling pass re-executes the shard fingerprint kernels end to end
-        return self_similar(d, cfg.exact, total).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        return scoped_persist(self_similar(d, cfg.exact, total))
 
     dups = store.stage("exactsubstr_dups", build_dups) if store else build_dups()
 
@@ -115,33 +118,56 @@ def make_store(spark, base_dir: str, cfg: EngineConfig) -> StageStore:
     return StageStore(spark, base_dir, fingerprint=config_fingerprint(cfg))
 
 
+@dataclass(frozen=True)
+class AcrossDedupResult:
+    """Both sides of the cross-corpus pipeline. Every frame is lazy — an
+    unconsumed side costs nothing (the shared fingerprint frames are
+    persisted once and feed whichever sides the caller materializes)."""
+
+    dups_a: DataFrame
+    ranges_a: DataFrame
+    deduped_a: DataFrame
+    dups_b: DataFrame
+    ranges_b: DataFrame
+    deduped_b: DataFrame
+
+    # legacy 3-tuple unpack: (dups_a, ranges_a, deduped_a)
+    def __iter__(self):
+        return iter((self.dups_a, self.ranges_a, self.deduped_a))
+
+
 def across_dedup(
     docs_a: DataFrame,
     docs_b: DataFrame,
     cfg: EngineConfig,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> AcrossDedupResult:
     """Cross-corpus contamination pipeline (README.md:324-340:
-    across-similar + collect + strike on side A):
+    across-similar + collect + strike — the reference runs collect/finish
+    on *either* dataset, so both sides are returned symmetrically).
 
-    returns (dups_a, remove_ranges_a, deduped_a) where dups_a are the
-    positions of A whose length-L window also occurs in B.
+    dups_a are the positions of A whose length-L window also occurs in B,
+    and vice versa; each side gets its own coalesced remove_ranges and
+    struck documents. Unpacking as a 3-tuple still yields the A side.
     """
-    from pyspark import StorageLevel
-
     from ..operators.suffix import across_similar, window_fingerprints
     from ..sources.corpus import corpus_total_bytes, with_offsets
+    from .caching import scoped_persist
 
-    da = with_offsets(docs_a, cfg.exact.with_separators).cache()
-    db = with_offsets(docs_b, cfg.exact.with_separators).cache()
+    da = scoped_persist(with_offsets(docs_a, cfg.exact.with_separators))
+    db = scoped_persist(with_offsets(docs_b, cfg.exact.with_separators))
     # each fingerprint frame feeds both the distinct-keys side and the
     # semi-join probe side — persist or the shard kernels run twice per side
-    fp_a = window_fingerprints(da, cfg.exact, corpus_total_bytes(da)).persist(
-        StorageLevel.MEMORY_AND_DISK
+    fp_a = scoped_persist(
+        window_fingerprints(da, cfg.exact, corpus_total_bytes(da))
     )
-    fp_b = window_fingerprints(db, cfg.exact, corpus_total_bytes(db)).persist(
-        StorageLevel.MEMORY_AND_DISK
+    fp_b = scoped_persist(
+        window_fingerprints(db, cfg.exact, corpus_total_bytes(db))
     )
-    dups_a, _ = across_similar(fp_a, fp_b, cfg.exact)
+    dups_a, dups_b = across_similar(fp_a, fp_b, cfg.exact)
     ranges_a = coalesce_positions(dups_a, cfg.exact.length_threshold)
     deduped_a = apply_removals(da, ranges_a, cfg.exact)
-    return dups_a, ranges_a, deduped_a
+    ranges_b = coalesce_positions(dups_b, cfg.exact.length_threshold)
+    deduped_b = apply_removals(db, ranges_b, cfg.exact)
+    return AcrossDedupResult(
+        dups_a, ranges_a, deduped_a, dups_b, ranges_b, deduped_b
+    )

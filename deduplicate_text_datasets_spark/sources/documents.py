@@ -88,16 +88,22 @@ def assign_dense_ids(
 
 
 def _size_bytes(conf_val: str) -> int:
-    """Parse a Spark byte-size conf value ('134217728b', '128m', '1g')."""
+    """Parse a Spark byte-size conf value ('134217728b', '128m', '1.5g').
+    Spark's byteStringAs accepts fractional magnitudes, so parse via float
+    and truncate; an unparseable value falls back to Spark's 128 MiB
+    default rather than crashing read_documents on a valid session conf."""
     v = conf_val.strip().lower()
-    for suf, mult in (
-        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
-        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40),
-        ("b", 1),
-    ):
-        if v.endswith(suf):
-            return int(v[: -len(suf)]) * mult
-    return int(v)
+    try:
+        for suf, mult in (
+            ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
+            ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40),
+            ("b", 1),
+        ):
+            if v.endswith(suf):
+                return int(float(v[: -len(suf)]) * mult)
+        return int(float(v))
+    except ValueError:
+        return 128 << 20
 
 
 def read_documents(spark: SparkSession, path: str) -> DataFrame:
@@ -280,21 +286,90 @@ def synth_documents(
     )
 
 
+def _hf_split_size(datasets_mod, name: str, split: str) -> int:
+    """Split row count from dataset METADATA only (no example download):
+    load_dataset_builder reads the dataset card/info, the analogue of the
+    reference asking len(ds) before forking its mp.Pool shards
+    (load_dataset_hf.py:59-63)."""
+    builder = datasets_mod.load_dataset_builder(name)
+    info_splits = getattr(builder.info, "splits", None) or {}
+    if split not in info_splits:
+        raise ValueError(
+            f"split {split!r} not in {name} (splits: {sorted(info_splits)})"
+        )
+    return int(info_splits[split].num_examples)
+
+
+def read_sharded_text(
+    spark: SparkSession,
+    n: int,
+    shard_loader,
+    url_prefix: str,
+    docs_per_shard: int = 50_000,
+) -> DataFrame:
+    """Core distributed external-dataset reader: ``shard_loader(lo, hi) ->
+    list[str]`` runs on EXECUTORS (cloudpickled into mapInPandas tasks),
+    one task per contiguous [lo, hi) id slice — the Spark analogue of the
+    reference's mp.Pool shard loop (load_dataset_hf.py:59-90). The driver
+    only needs the total row count ``n``; no example text ever crosses it.
+    doc_ids are dense and deterministic for free (= slice offset), no
+    assign_dense_ids pass needed."""
+    bounds = [
+        (lo, min(lo + docs_per_shard, n)) for lo in range(0, n, docs_per_shard)
+    ] or [(0, 0)]
+    shard_df = spark.createDataFrame(
+        pd.DataFrame(bounds, columns=["lo", "hi"])
+    ).repartition(len(bounds), "lo")
+
+    def load(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo, hi in zip(pdf["lo"], pdf["hi"]):
+                lo, hi = int(lo), int(hi)
+                if hi <= lo:
+                    continue
+                texts = shard_loader(lo, hi)
+                if len(texts) != hi - lo:
+                    raise RuntimeError(
+                        f"shard_loader({lo}, {hi}) returned {len(texts)} "
+                        f"rows, expected {hi - lo} — doc_ids would desync"
+                    )
+                yield pd.DataFrame(
+                    {"doc_id": range(lo, hi), "text": [str(t) for t in texts]}
+                )
+
+    raw = shard_df.mapInPandas(load, "doc_id long, text string")
+    return raw.select(
+        "doc_id",
+        F.concat(F.lit(url_prefix), F.col("doc_id")).alias("url"),
+        F.lit(EPOCH).cast("timestamp").alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+        F.col("text").cast("string").alias("text"),
+        F.lit("und").alias("lang"),
+    )
+
+
 def read_hf_dataset(
     spark: SparkSession,
     name: str,
     split: str = "train",
     text_key: str = "text",
+    docs_per_shard: int = 50_000,
 ) -> DataFrame:
-    """TFDS/HF-datasets ingestion seam (reference scripts/load_dataset.py:
-    49-51 tfds.load; scripts/load_dataset_hf.py:51-90 datasets.load_dataset).
+    """HF-datasets ingestion (reference scripts/load_dataset_hf.py:51-90:
+    datasets.load_dataset sharded across an mp.Pool).
 
-    The container ships neither tensorflow-datasets nor huggingface
-    ``datasets`` — like ``functions.text.gpt2_tokenizer_udf`` this raises a
-    clear NotImplementedError at the exact integration point instead of
-    silently substituting. When the library is present: load the split,
-    lift ``text_key`` into the canonical documents frame (input-order
-    doc_ids — the reference's sequential uid, load_dataset.py:58).
+    Distributed by construction: the driver reads only the split's row
+    count from dataset metadata (_hf_split_size — no example download),
+    then each EXECUTOR task loads its own contiguous slice via the HF
+    split syntax ``split[lo:hi]`` inside read_sharded_text's mapInPandas.
+    A C4-sized split never materializes on the driver (the round-3
+    ``ds.to_pandas()`` seam is gone).
+
+    The container ships no huggingface ``datasets`` — like
+    ``functions.text.gpt2_tokenizer_udf`` this raises a clear
+    NotImplementedError at the exact integration point instead of silently
+    substituting (the sharded plumbing itself is tested through
+    read_sharded_text with a fake loader, tests/test_round4.py).
     """
     try:
         import datasets  # type: ignore
@@ -306,25 +381,56 @@ def read_hf_dataset(
             "export the dataset to parquet and point read_documents at it."
         ) from exc
 
-    ds = datasets.load_dataset(name, split=split)
-    if text_key not in ds.column_names:
-        raise ValueError(
-            f"no {text_key!r} column in {name}:{split} "
-            f"(columns: {ds.column_names})"
-        )
-    pdf = ds.to_pandas()[[text_key]].rename(columns={text_key: "text"})
-    raw = spark.createDataFrame(pdf)
-    d = assign_dense_ids(raw, order_col=None)
-    return d.select(
-        "doc_id",
-        F.concat(
-            F.lit(f"hf://{name}/{split}/"), F.col("doc_id")
-        ).alias("url"),
-        F.lit(EPOCH).cast("timestamp").alias("warc_ts"),
-        F.encode("text", "UTF-8").alias("html"),
-        F.col("text").cast("string").alias("text"),
-        F.lit("und").alias("lang"),
+    n = _hf_split_size(datasets, name, split)
+
+    def load_slice(lo: int, hi: int) -> list:
+        import datasets as ds_mod  # executor-side import
+
+        shard = ds_mod.load_dataset(name, split=f"{split}[{lo}:{hi}]")
+        if text_key not in shard.column_names:
+            raise ValueError(
+                f"no {text_key!r} column in {name}:{split} "
+                f"(columns: {shard.column_names})"
+            )
+        return list(shard[text_key])
+
+    return read_sharded_text(
+        spark, n, load_slice, f"hf://{name}/{split}/", docs_per_shard
     )
+
+
+def read_tfds_dataset(
+    spark: SparkSession,
+    name: str,
+    split: str = "train",
+    text_key: str = "text",
+    docs_per_shard: int = 50_000,
+) -> DataFrame:
+    """TFDS ingestion seam (reference scripts/load_dataset.py:49-51:
+    tfds.load, the loader behind the wiki40b walkthrough).
+
+    No tensorflow/tensorflow-datasets in this container, so this is the
+    named integration point that raises cleanly. When TFDS is present the
+    same sharded design as read_hf_dataset applies: driver reads
+    ``tfds.builder(name).info.splits[split].num_examples`` (metadata only),
+    executors each load ``split[lo:hi]`` sub-splits (TFDS shares the HF
+    slicing syntax) inside mapInPandas — never a full-split driver
+    materialization.
+    """
+    try:
+        import tensorflow_datasets  # type: ignore  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "TFDS ingestion needs the 'tensorflow-datasets' package (not "
+            "in this container). Use read_text_corpus for txt/jsonl/csv "
+            "globs or read_documents for parquet/Iceberg tables; at scale, "
+            "export the dataset to parquet and point read_documents at it."
+        ) from exc
+    raise NotImplementedError(
+        "TFDS executor-side shard loading is not wired in this build; "
+        "export the split to parquet (tfds.as_dataframe -> parquet) and "
+        "use read_documents, or adapt read_hf_dataset's sharded loader."
+    )  # pragma: no cover - container has no TFDS
 
 
 def read_text_corpus(spark: SparkSession, path: str, fmt: str = "auto") -> DataFrame:

@@ -87,11 +87,13 @@ def test_window_hashes_match_direct():
         direct = 0
         for j in range(L):
             direct = (direct * x + int(buf[i + j])) % (1 << 64)
-        # apply the same bijective mix
-        m = np.uint64(direct)
-        m = m ^ (m >> np.uint64(33))
-        m = m * np.uint64(0xFF51AFD7ED558CCD)
-        m = m ^ (m >> np.uint64(29))
+        # apply the same bijective mix (intentional uint64 wrap — silence
+        # only here so real overflow warnings elsewhere stay visible)
+        with np.errstate(over="ignore"):
+            m = np.uint64(direct)
+            m = m ^ (m >> np.uint64(33))
+            m = m * np.uint64(0xFF51AFD7ED558CCD)
+            m = m ^ (m >> np.uint64(29))
         assert h[i] == m
 
 
