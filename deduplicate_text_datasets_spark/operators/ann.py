@@ -256,9 +256,15 @@ def cosine_pairs(
 
         if tables is None:
             tables = lsh_tables_for(threshold, bits, target_recall)
-        # consumed by the size agg and the bucket self-join — persist so the
-        # hyperplane kernel runs once (scope-registered, plans.caching)
-        b = scoped_persist(hyperplane_bands(emb, dim, tables, bits, vec_col))
+        # consumed by the size agg, the join-back and both self-join sides
+        # — persist so the hyperplane kernel runs once (scope-registered,
+        # plans.caching), co-partitioned on the bucket key so the consumers
+        # run on the cached partitioning (self_similar copartition design)
+        b = scoped_persist(
+            hyperplane_bands(emb, dim, tables, bits, vec_col).repartition(
+                "bucket"
+            )
+        )
         sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsize"))
         sized = b.join(
             sizes.filter(

@@ -155,10 +155,14 @@ def candidate_pairs(buckets: DataFrame, cfg: MinHashConfig) -> DataFrame:
     """
     from ..plans.caching import scoped_persist
 
-    # two consumers (size agg + join) — persist or the upstream signature
-    # kernel re-executes for each; scope-registered (plans.caching) so a
-    # cache_scope() caller reclaims it
-    buckets = scoped_persist(buckets)
+    # three consumers (size agg + join-back + both sides of the pair
+    # self-join) — persist or the upstream signature kernel re-executes for
+    # each. Co-partitioned on the bucket key before caching (same design as
+    # suffix.self_similar copartition, BASELINE.md round-4 section): the
+    # agg and the self-join then run on the cached partitioning instead of
+    # re-exchanging the bucket frame per consumer — at web scale the
+    # filtered size frame outgrows broadcast and those exchanges are real.
+    buckets = scoped_persist(buckets.repartition("band", "bucket"))
     sizes = buckets.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("bsize")
     )

@@ -47,7 +47,10 @@ def jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("df"))
         .filter((F.col("df") >= 2) & (F.col("df") <= max_shingle_df))
     )
-    inv = scoped_persist(inv.join(dfc.select("g"), "g"))
+    # pruned postings feed BOTH sides of the shingle-key self-join:
+    # co-partition on g before caching so the join co-locates without
+    # re-exchanging each side (suffix.self_similar copartition design)
+    inv = scoped_persist(inv.join(dfc.select("g"), "g").repartition("g"))
     a = inv.select(F.col("g").alias("g"), F.col("doc_id").alias("a"))
     b = inv.select(F.col("g").alias("g"), F.col("doc_id").alias("b"))
     inter = (

@@ -100,9 +100,12 @@ def simhash_candidates(
     from ..plans.caching import scoped_persist
 
     blocks = _blocks(cfg)
-    # two consumers (size agg + join-back) — persist or the fingerprint
-    # kernel re-executes for each; scope-registered (plans.caching) so a
-    # cache_scope() caller reclaims it after its actions complete
+    # consumed by the size agg, the join-back, and both sides of the pair
+    # self-join — persist or the fingerprint kernel re-executes for each;
+    # scope-registered (plans.caching) so a cache_scope() caller reclaims
+    # it. Co-partitioned on the block key before caching (the
+    # suffix.self_similar copartition design) so the consumers run on the
+    # cached partitioning instead of re-exchanging per consumer.
     exploded = scoped_persist(fingerprints.select(
         "doc_id",
         "fingerprint",
@@ -116,7 +119,7 @@ def simhash_candidates(
                 ]
             )
         ).alias("block", "value"),
-    ))
+    ).repartition("block", "value"))
     sizes = exploded.groupBy("block", "value").agg(
         F.count(F.lit(1)).alias("bsize")
     )

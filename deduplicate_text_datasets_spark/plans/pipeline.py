@@ -156,12 +156,19 @@ def across_dedup(
     da = scoped_persist(with_offsets(docs_a, cfg.exact.with_separators))
     db = scoped_persist(with_offsets(docs_b, cfg.exact.with_separators))
     # each fingerprint frame feeds both the distinct-keys side and the
-    # semi-join probe side — persist or the shard kernels run twice per side
+    # semi-join probe side — persist or the shard kernels run twice per
+    # side. Co-partitioned on the window key (self_similar copartition
+    # design): the distinct aggs run on the cached partitioning and the
+    # two semi-joins co-locate without re-exchanging either side.
     fp_a = scoped_persist(
-        window_fingerprints(da, cfg.exact, corpus_total_bytes(da))
+        window_fingerprints(da, cfg.exact, corpus_total_bytes(da)).repartition(
+            "h1", "h2"
+        )
     )
     fp_b = scoped_persist(
-        window_fingerprints(db, cfg.exact, corpus_total_bytes(db))
+        window_fingerprints(db, cfg.exact, corpus_total_bytes(db)).repartition(
+            "h1", "h2"
+        )
     )
     dups_a, dups_b = across_similar(fp_a, fp_b, cfg.exact)
     ranges_a = coalesce_positions(dups_a, cfg.exact.length_threshold)
