@@ -228,6 +228,7 @@ def cosine_pairs(
     target_recall: float = 0.99999,
     vec_col: str = "embedding",
     max_bucket_size: int = 100_000,
+    copartition: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b, cos_mil) with cosine
     >= threshold; cos_mil = floor(cosine * 1000) (integer — keeps the
@@ -260,11 +261,10 @@ def cosine_pairs(
         # — persist so the hyperplane kernel runs once (scope-registered,
         # plans.caching), co-partitioned on the bucket key so the consumers
         # run on the cached partitioning (self_similar copartition design)
-        b = scoped_persist(
-            hyperplane_bands(emb, dim, tables, bits, vec_col).repartition(
-                "bucket"
-            )
-        )
+        b = hyperplane_bands(emb, dim, tables, bits, vec_col)
+        if copartition:
+            b = b.repartition("bucket")
+        b = scoped_persist(b)
         sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsize"))
         sized = b.join(
             sizes.filter(

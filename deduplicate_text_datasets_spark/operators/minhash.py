@@ -141,7 +141,9 @@ def lsh_buckets(signatures: DataFrame, cfg: MinHashConfig) -> DataFrame:
     )
 
 
-def candidate_pairs(buckets: DataFrame, cfg: MinHashConfig) -> DataFrame:
+def candidate_pairs(
+    buckets: DataFrame, cfg: MinHashConfig, copartition: bool = True
+) -> DataFrame:
     """Distinct (a, b) candidate doc pairs from shared LSH buckets.
 
     Bucket-size cap: the per-bucket pair blow-up is quadratic, so buckets
@@ -162,7 +164,9 @@ def candidate_pairs(buckets: DataFrame, cfg: MinHashConfig) -> DataFrame:
     # agg and the self-join then run on the cached partitioning instead of
     # re-exchanging the bucket frame per consumer — at web scale the
     # filtered size frame outgrows broadcast and those exchanges are real.
-    buckets = scoped_persist(buckets.repartition("band", "bucket"))
+    if copartition:
+        buckets = buckets.repartition("band", "bucket")
+    buckets = scoped_persist(buckets)
     sizes = buckets.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("bsize")
     )
@@ -239,7 +243,10 @@ def verify_pairs(
 
 
 def near_duplicate_edges(
-    docs: DataFrame, cfg: MinHashConfig, text_col: str = "text"
+    docs: DataFrame,
+    cfg: MinHashConfig,
+    text_col: str = "text",
+    copartition: bool = True,
 ) -> DataFrame:
     """documents -> verified near-duplicate edges (a, b, jaccard).
 
@@ -253,5 +260,5 @@ def near_duplicate_edges(
 
     shingled = scoped_persist(doc_shingles(docs, cfg, text_col))
     sigs = minhash_signatures(shingled, cfg)
-    pairs = candidate_pairs(lsh_buckets(sigs, cfg), cfg)
+    pairs = candidate_pairs(lsh_buckets(sigs, cfg), cfg, copartition)
     return verify_pairs(pairs, shingled, cfg)

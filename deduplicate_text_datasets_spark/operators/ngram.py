@@ -25,6 +25,7 @@ def jaccard_pairs(
     threshold_den: int = 5,
     text_col: str = "text",
     max_shingle_df: int = 10000,
+    copartition: bool = True,
 ) -> DataFrame:
     """All doc pairs with shingle-Jaccard >= threshold_num/threshold_den.
 
@@ -50,7 +51,10 @@ def jaccard_pairs(
     # pruned postings feed BOTH sides of the shingle-key self-join:
     # co-partition on g before caching so the join co-locates without
     # re-exchanging each side (suffix.self_similar copartition design)
-    inv = scoped_persist(inv.join(dfc.select("g"), "g").repartition("g"))
+    inv = inv.join(dfc.select("g"), "g")
+    if copartition:
+        inv = inv.repartition("g")
+    inv = scoped_persist(inv)
     a = inv.select(F.col("g").alias("g"), F.col("doc_id").alias("a"))
     b = inv.select(F.col("g").alias("g"), F.col("doc_id").alias("b"))
     inter = (

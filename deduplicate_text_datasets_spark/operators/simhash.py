@@ -85,7 +85,10 @@ def _blocks(cfg: SimHashConfig) -> list[tuple[int, int]]:
 
 
 def simhash_candidates(
-    fingerprints: DataFrame, cfg: SimHashConfig, max_bucket_size: int = 5000
+    fingerprints: DataFrame,
+    cfg: SimHashConfig,
+    max_bucket_size: int = 5000,
+    copartition: bool = True,
 ) -> DataFrame:
     """Candidate pairs agreeing on >= 1 of the k+1 blocks (complete for
     Hamming distance <= k by pigeonhole). Oversized buckets are dropped
@@ -106,7 +109,7 @@ def simhash_candidates(
     # it. Co-partitioned on the block key before caching (the
     # suffix.self_similar copartition design) so the consumers run on the
     # cached partitioning instead of re-exchanging per consumer.
-    exploded = scoped_persist(fingerprints.select(
+    exploded = fingerprints.select(
         "doc_id",
         "fingerprint",
         F.posexplode(
@@ -119,7 +122,10 @@ def simhash_candidates(
                 ]
             )
         ).alias("block", "value"),
-    ).repartition("block", "value"))
+    )
+    if copartition:
+        exploded = exploded.repartition("block", "value")
+    exploded = scoped_persist(exploded)
     sizes = exploded.groupBy("block", "value").agg(
         F.count(F.lit(1)).alias("bsize")
     )

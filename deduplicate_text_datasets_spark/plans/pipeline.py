@@ -38,6 +38,7 @@ def neardup_clusters(
     docs: DataFrame,
     cfg: EngineConfig,
     store: StageStore | None = None,
+    copartition: bool = True,
 ) -> DataFrame:
     """NearDup flagship: documents -> clusters(doc_id, url, cluster_id,
     is_duplicate, keep).
@@ -48,7 +49,9 @@ def neardup_clusters(
     """
 
     def build_edges() -> DataFrame:
-        mh = near_duplicate_edges(docs, cfg.minhash).select(
+        mh = near_duplicate_edges(
+            docs, cfg.minhash, copartition=copartition
+        ).select(
             F.col("a").alias("src"), F.col("b").alias("dst")
         )
         ex = exact_duplicate_edges(docs)
@@ -140,6 +143,7 @@ def across_dedup(
     docs_a: DataFrame,
     docs_b: DataFrame,
     cfg: EngineConfig,
+    copartition: bool = True,
 ) -> AcrossDedupResult:
     """Cross-corpus contamination pipeline (README.md:324-340:
     across-similar + collect + strike — the reference runs collect/finish
@@ -160,16 +164,13 @@ def across_dedup(
     # side. Co-partitioned on the window key (self_similar copartition
     # design): the distinct aggs run on the cached partitioning and the
     # two semi-joins co-locate without re-exchanging either side.
-    fp_a = scoped_persist(
-        window_fingerprints(da, cfg.exact, corpus_total_bytes(da)).repartition(
-            "h1", "h2"
-        )
-    )
-    fp_b = scoped_persist(
-        window_fingerprints(db, cfg.exact, corpus_total_bytes(db)).repartition(
-            "h1", "h2"
-        )
-    )
+    fp_a = window_fingerprints(da, cfg.exact, corpus_total_bytes(da))
+    fp_b = window_fingerprints(db, cfg.exact, corpus_total_bytes(db))
+    if copartition:
+        fp_a = fp_a.repartition("h1", "h2")
+        fp_b = fp_b.repartition("h1", "h2")
+    fp_a = scoped_persist(fp_a)
+    fp_b = scoped_persist(fp_b)
     dups_a, dups_b = across_similar(fp_a, fp_b, cfg.exact)
     ranges_a = coalesce_positions(dups_a, cfg.exact.length_threshold)
     deduped_a = apply_removals(da, ranges_a, cfg.exact)
