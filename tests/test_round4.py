@@ -468,3 +468,59 @@ def test_overlap_guard_memoized(spark, docs, tmp_path_factory):
     index._sa_overlap_memo = (0,)
     with pytest.raises(ValueError, match="overlap"):
         count_occurrences_indexed(index, [(0, b"ab")]).collect()
+
+
+def test_across_dedup_tokenized_e2e(spark, tok_docs, fixture_pdf):
+    """Token-mode across_dedup (reference --tokenize applies to across
+    runs identically — the packed corpus is just bytes): both sides'
+    positions and splices must match pyref over the same packed layout."""
+    from deduplicate_text_datasets_spark.functions.text import (
+        tokenize_corpus,
+    )
+    from deduplicate_text_datasets_spark.plans.pipeline import across_dedup
+
+    docs_a = tok_docs.filter(F.col("doc_id") % 2 == 0)
+    docs_b = tok_docs.filter(F.col("doc_id") % 2 == 1)
+    packed_by_id = {
+        r["doc_id"]: bytes(r["packed"])
+        for r in tokenize_corpus(
+            spark.createDataFrame(fixture_pdf, schema=DOCUMENTS_SCHEMA)
+        ).select("doc_id", "packed").collect()
+    }
+    ids_a = sorted(i for i in packed_by_id if i % 2 == 0)
+    ids_b = sorted(i for i in packed_by_id if i % 2 == 1)
+
+    def build(ids):
+        out = bytearray()
+        sizes = [0]
+        for uid in ids:
+            out += pyref.doc_bytes(int(uid), packed_by_id[uid], True)
+            sizes.append(len(out))
+        return bytes(out), sizes
+
+    corpus_a, sizes_a = build(ids_a)
+    corpus_b, sizes_b = build(ids_b)
+    exp_a, exp_b = pyref.across_similar_positions(
+        corpus_a, corpus_b, TOK_CFG.length_threshold
+    )
+    assert exp_a and exp_b, "fixture must contaminate both sides"
+
+    res = across_dedup(docs_a, docs_b, EngineConfig(exact=TOK_CFG))
+    assert sorted(r["pos"] for r in res.dups_a.collect()) == exp_a
+    assert sorted(r["pos"] for r in res.dups_b.collect()) == exp_b
+
+    for ids, sizes, exp, deduped in (
+        (ids_a, sizes_a, exp_a, res.deduped_a),
+        (ids_b, sizes_b, exp_b, res.deduped_b),
+    ):
+        ranges = pyref.collect_ranges(exp, TOK_CFG.length_threshold)
+        want = pyref.apply_removals(
+            [packed_by_id[i] for i in ids], sizes, ranges, True
+        )
+        got = {r["doc_id"]: bytes(r["deduped"]) for r in deduped.collect()}
+        changed = 0
+        for uid, w in zip(ids, want):
+            assert got[uid] == w, f"doc {uid} token splice mismatch"
+            if w != packed_by_id[uid]:
+                changed += 1
+        assert changed > 0, "no token-mode strike landed on this side"
