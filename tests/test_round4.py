@@ -524,3 +524,41 @@ def test_across_dedup_tokenized_e2e(spark, tok_docs, fixture_pdf):
             if w != packed_by_id[uid]:
                 changed += 1
         assert changed > 0, "no token-mode strike landed on this side"
+
+
+def test_copartition_modes_identical_outputs(spark, docs):
+    """copartition=True must be a pure physical-plan choice: candidate /
+    pair sets from every bucketed operator are identical either way
+    (the sf0.1 A/B asserts this once per run — scripts/ab_neardup.py —
+    this pins it at fixture scale forever)."""
+    from deduplicate_text_datasets_spark.config import (
+        MinHashConfig,
+        SimHashConfig,
+    )
+    from deduplicate_text_datasets_spark.operators.minhash import (
+        candidate_pairs,
+        doc_shingles,
+        lsh_buckets,
+        minhash_signatures,
+    )
+    from deduplicate_text_datasets_spark.operators.ngram import jaccard_pairs
+    from deduplicate_text_datasets_spark.operators.simhash import (
+        simhash_candidates,
+        simhash_fingerprints,
+    )
+
+    mh = MinHashConfig()
+    buckets = lsh_buckets(minhash_signatures(doc_shingles(docs, mh), mh), mh)
+    fps = simhash_fingerprints(docs)
+
+    def pairs(df):
+        return sorted((r["a"], r["b"]) for r in df.select("a", "b").collect())
+
+    for name, fn in (
+        ("minhash", lambda c: candidate_pairs(buckets, mh, copartition=c)),
+        ("simhash", lambda c: simhash_candidates(fps, SimHashConfig(), copartition=c)),
+        ("ngram", lambda c: jaccard_pairs(docs, mh, copartition=c)),
+    ):
+        on, off = pairs(fn(True)), pairs(fn(False))
+        assert on == off and on, f"{name}: copartition changed the output"
+        spark.catalog.clearCache()
