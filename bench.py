@@ -442,8 +442,10 @@ def run_stress(n_docs: int | None = None) -> dict:
 
     n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_STRESS_DOCS", "80000"))
     spark = get_spark("bench-stress", extra={"spark.ui.enabled": "true"})
-    base = "http://localhost:4040/api/v1/applications"
-    app_id = json.load(urllib.request.urlopen(base))[0]["id"]
+    # this session's OWN UI endpoint + app id — hardcoding :4040 would read
+    # another app's metrics when the port is taken (round-4 ADVICE)
+    base = f"{spark.sparkContext.uiWebUrl}/api/v1/applications"
+    app_id = spark.sparkContext.applicationId
 
     def stages():
         return json.load(urllib.request.urlopen(f"{base}/{app_id}/stages"))

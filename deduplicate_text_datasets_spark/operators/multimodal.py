@@ -52,15 +52,31 @@ def _fake_decode(payload: bytes, media_type: str, dim: int) -> np.ndarray:
 
 
 def extract_features(
-    media: DataFrame, dim: int = 16, decoder: str = "fake"
+    media: DataFrame, dim: int = 16, decoder="fake"
 ) -> DataFrame:
     """media table -> per-item feature vectors (Arrow-batched kernel).
+
+    ``decoder`` selects the decode step at the integration seam:
+
+    * ``"fake"`` — the deterministic byte-histogram stand-in (default;
+      keeps the plumbing testable without media libs);
+    * ``"real"`` — raises NotImplementedError (no PIL/ffmpeg in this
+      container) at the exact point a production decoder plugs in;
+    * a **callable** ``(payload: bytes, media_type: str, dim: int) ->
+      array-like of len dim`` — caller-supplied real decoder (e.g. a
+      PIL/ffmpeg wrapper where those libs exist). It is cloudpickled into
+      the executor tasks, so it must import its media libs inside the
+      function body or at module scope on the executors.
 
     The batch shape is the contract: each mapInPandas batch holds whole
     payloads; at scale set spark.sql.execution.arrow.maxRecordsPerBatch and
     spark.sql.files.maxPartitionBytes so one batch of payloads fits executor
     memory (payloads dominate; ~batch_rows * avg_payload bytes).
     """
+    if isinstance(decoder, str) and decoder not in ("fake", "real"):
+        raise ValueError(
+            f"decoder must be 'fake', 'real', or a callable; got {decoder!r}"
+        )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -72,9 +88,18 @@ def extract_features(
                 if decoder == "real":
                     raise NotImplementedError(
                         "real media decode requires PIL/ffmpeg (not in this "
-                        "container); use decoder='fake' or plug a decoder in"
+                        "container); pass a decoder callable or use 'fake'"
                     )
-                feats.append(_fake_decode(raw, mt, dim))
+                if callable(decoder):
+                    feat = np.asarray(decoder(raw, mt, dim), dtype=np.float64)
+                    if feat.shape != (dim,):
+                        raise ValueError(
+                            f"decoder returned shape {feat.shape}, "
+                            f"expected ({dim},)"
+                        )
+                    feats.append(feat)
+                else:
+                    feats.append(_fake_decode(raw, mt, dim))
                 shas.append(hashlib.sha256(raw).hexdigest())
                 sizes.append(len(raw))
             yield pd.DataFrame(

@@ -134,8 +134,20 @@ class AcrossDedupResult:
     ranges_b: DataFrame
     deduped_b: DataFrame
 
-    # legacy 3-tuple unpack: (dups_a, ranges_a, deduped_a)
+    # DEPRECATED legacy 3-tuple unpack: (dups_a, ranges_a, deduped_a).
+    # list(res)/tuple(res) silently drop the B side — use the named fields
+    # (dups_b, ranges_b, deduped_b carry the symmetric outputs). The shim
+    # warns and will be removed once callers migrate.
     def __iter__(self):
+        import warnings
+
+        warnings.warn(
+            "iterating AcrossDedupResult yields only the A side "
+            "(dups_a, ranges_a, deduped_a); use the named fields — the "
+            "3-tuple unpack shim is deprecated",
+            DeprecationWarning,
+            stacklevel=2,
+        )
         return iter((self.dups_a, self.ranges_a, self.deduped_a))
 
 

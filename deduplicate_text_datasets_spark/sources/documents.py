@@ -91,7 +91,11 @@ def _size_bytes(conf_val: str) -> int:
     """Parse a Spark byte-size conf value ('134217728b', '128m', '1.5g').
     Spark's byteStringAs accepts fractional magnitudes, so parse via float
     and truncate; an unparseable value falls back to Spark's 128 MiB
-    default rather than crashing read_documents on a valid session conf."""
+    default rather than crashing read_documents on a valid session conf —
+    but WARNS, so a genuinely misconfigured maxPartitionBytes is visible
+    instead of silently masked (round-4 ADVICE)."""
+    import warnings
+
     v = conf_val.strip().lower()
     try:
         for suf, mult in (
@@ -103,6 +107,12 @@ def _size_bytes(conf_val: str) -> int:
                 return int(float(v[: -len(suf)]) * mult)
         return int(float(v))
     except ValueError:
+        warnings.warn(
+            f"unparseable spark.sql.files.maxPartitionBytes value "
+            f"{conf_val!r}; falling back to 128 MiB for the scan fan-out "
+            "check (fix the session conf — Spark itself may reject it)",
+            stacklevel=2,
+        )
         return 128 << 20
 
 
@@ -317,9 +327,13 @@ def read_sharded_text(
     bounds = [
         (lo, min(lo + docs_per_shard, n)) for lo in range(0, n, docs_per_shard)
     ] or [(0, 0)]
+    # range-partition on lo: exactly one [lo, hi) bound per task. Hash
+    # partitioning on lo could land several bounds in one partition (their
+    # loads would serialize within that task) and leave others empty —
+    # parallelism below the shard count (round-4 ADVICE).
     shard_df = spark.createDataFrame(
         pd.DataFrame(bounds, columns=["lo", "hi"])
-    ).repartition(len(bounds), "lo")
+    ).repartitionByRange(len(bounds), "lo")
 
     def load(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -354,25 +368,42 @@ def read_hf_dataset(
     split: str = "train",
     text_key: str = "text",
     docs_per_shard: int = 50_000,
+    streaming: bool = True,
 ) -> DataFrame:
     """HF-datasets ingestion (reference scripts/load_dataset_hf.py:51-90:
     datasets.load_dataset sharded across an mp.Pool).
 
     Distributed by construction: the driver reads only the split's row
     count from dataset metadata (_hf_split_size — no example download),
-    then each EXECUTOR task loads its own contiguous slice via the HF
-    split syntax ``split[lo:hi]`` inside read_sharded_text's mapInPandas.
-    A C4-sized split never materializes on the driver (the round-3
-    ``ds.to_pandas()`` seam is gone).
+    then each EXECUTOR task loads its own contiguous slice inside
+    read_sharded_text's mapInPandas. A C4-sized split never materializes
+    on the driver (the round-3 ``ds.to_pandas()`` seam is gone).
+
+    Executors load one of two ways (round-4 ADVICE):
+
+    * ``streaming=True`` (default): ``load_dataset(..., streaming=True)``
+      + ``.skip(lo).take(hi-lo)`` — no per-node download-and-prepare of
+      the whole split; each task streams shards and discards the first
+      ``lo`` records. skip() is O(lo) record-reads but touches only the
+      compressed source files sequentially (no arrow materialization, no
+      HF file-lock contention), which at C4 scale beats every node paying
+      a full prepare. Prefer this unless the dataset's shards are already
+      prepared node-locally.
+    * ``streaming=False``: the HF slice syntax ``split[lo:hi]`` — NOTE
+      this prepares (downloads + arrow-izes) the FULL split into each
+      node's HF cache before slicing, serialized per node on HF file
+      locks. Only use when every node has the split pre-cached (e.g. a
+      shared warm HF_HOME), where slicing prepared arrow beats streaming.
 
     The container ships no huggingface ``datasets`` — like
     ``functions.text.gpt2_tokenizer_udf`` this raises a clear
     NotImplementedError at the exact integration point instead of silently
     substituting (the sharded plumbing itself is tested through
-    read_sharded_text with a fake loader, tests/test_round4.py).
+    read_sharded_text with a fake loader, tests/test_round4.py; the
+    streaming loader with a fake ``datasets`` module, tests/test_round5.py).
     """
     try:
-        import datasets  # type: ignore
+        import datasets  # type: ignore  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
             "HF dataset ingestion needs the 'datasets' package (not in "
@@ -386,17 +417,39 @@ def read_hf_dataset(
     def load_slice(lo: int, hi: int) -> list:
         import datasets as ds_mod  # executor-side import
 
-        shard = ds_mod.load_dataset(name, split=f"{split}[{lo}:{hi}]")
-        if text_key not in shard.column_names:
-            raise ValueError(
-                f"no {text_key!r} column in {name}:{split} "
-                f"(columns: {shard.column_names})"
-            )
-        return list(shard[text_key])
+        return _hf_load_slice(
+            ds_mod, name, split, text_key, streaming, lo, hi
+        )
 
     return read_sharded_text(
         spark, n, load_slice, f"hf://{name}/{split}/", docs_per_shard
     )
+
+
+def _hf_load_slice(
+    ds_mod, name: str, split: str, text_key: str, streaming: bool,
+    lo: int, hi: int,
+) -> list:
+    """One executor task's slice load (module-level so the fake-module
+    tests can drive it without a worker-side import seam)."""
+    if streaming:
+        stream = ds_mod.load_dataset(name, split=split, streaming=True)
+        out = []
+        for ex in stream.skip(lo).take(hi - lo):
+            if text_key not in ex:
+                raise ValueError(
+                    f"no {text_key!r} key in {name}:{split} example "
+                    f"(keys: {sorted(ex)})"
+                )
+            out.append(ex[text_key])
+        return out
+    shard = ds_mod.load_dataset(name, split=f"{split}[{lo}:{hi}]")
+    if text_key not in shard.column_names:
+        raise ValueError(
+            f"no {text_key!r} column in {name}:{split} "
+            f"(columns: {shard.column_names})"
+        )
+    return list(shard[text_key])
 
 
 def read_tfds_dataset(
@@ -406,19 +459,23 @@ def read_tfds_dataset(
     text_key: str = "text",
     docs_per_shard: int = 50_000,
 ) -> DataFrame:
-    """TFDS ingestion seam (reference scripts/load_dataset.py:49-51:
-    tfds.load, the loader behind the wiki40b walkthrough).
+    """TFDS ingestion (reference scripts/load_dataset.py:49-51: tfds.load,
+    the loader behind the wiki40b walkthrough).
 
-    No tensorflow/tensorflow-datasets in this container, so this is the
-    named integration point that raises cleanly. When TFDS is present the
-    same sharded design as read_hf_dataset applies: driver reads
-    ``tfds.builder(name).info.splits[split].num_examples`` (metadata only),
-    executors each load ``split[lo:hi]`` sub-splits (TFDS shares the HF
-    slicing syntax) inside mapInPandas — never a full-split driver
-    materialization.
+    Same sharded design as read_hf_dataset: the driver reads only
+    ``tfds.builder(name).info.splits[split].num_examples`` (metadata),
+    then each EXECUTOR task loads its own ``split[lo:hi]`` sub-split (TFDS
+    shares the HF absolute-slicing syntax) inside read_sharded_text's
+    mapInPandas — never a full-split driver materialization. Each node
+    needs the TFDS data dir populated (tfds prepares per-node on first
+    touch; point TFDS_DATA_DIR at shared storage on a real cluster).
+
+    No tensorflow-datasets in this container, so the import raises a clear
+    NotImplementedError; the sharded path itself is exercised with a fake
+    ``tensorflow_datasets`` module (tests/test_round5.py).
     """
     try:
-        import tensorflow_datasets  # type: ignore  # noqa: F401
+        import tensorflow_datasets as tfds  # type: ignore
     except ImportError as exc:
         raise NotImplementedError(
             "TFDS ingestion needs the 'tensorflow-datasets' package (not "
@@ -426,11 +483,41 @@ def read_tfds_dataset(
             "globs or read_documents for parquet/Iceberg tables; at scale, "
             "export the dataset to parquet and point read_documents at it."
         ) from exc
-    raise NotImplementedError(
-        "TFDS executor-side shard loading is not wired in this build; "
-        "export the split to parquet (tfds.as_dataframe -> parquet) and "
-        "use read_documents, or adapt read_hf_dataset's sharded loader."
-    )  # pragma: no cover - container has no TFDS
+
+    info_splits = tfds.builder(name).info.splits
+    if split not in info_splits:
+        raise ValueError(
+            f"split {split!r} not in {name} "
+            f"(splits: {sorted(info_splits)})"
+        )
+    n = int(info_splits[split].num_examples)
+
+    def load_slice(lo: int, hi: int) -> list:
+        import tensorflow_datasets as tfds_mod  # executor-side import
+
+        return _tfds_load_slice(tfds_mod, name, split, text_key, lo, hi)
+
+    return read_sharded_text(
+        spark, n, load_slice, f"tfds://{name}/{split}/", docs_per_shard
+    )
+
+
+def _tfds_load_slice(
+    tfds_mod, name: str, split: str, text_key: str, lo: int, hi: int
+) -> list:
+    """One executor task's TFDS sub-split load (module-level for the
+    fake-module tests, mirroring _hf_load_slice)."""
+    ds = tfds_mod.load(name, split=f"{split}[{lo}:{hi}]")
+    out = []
+    for ex in tfds_mod.as_numpy(ds):
+        if text_key not in ex:
+            raise ValueError(
+                f"no {text_key!r} key in {name}:{split} example "
+                f"(keys: {sorted(ex)})"
+            )
+        v = ex[text_key]
+        out.append(v.decode("utf-8") if isinstance(v, bytes) else str(v))
+    return out
 
 
 def read_text_corpus(spark: SparkSession, path: str, fmt: str = "auto") -> DataFrame:

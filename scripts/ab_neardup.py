@@ -37,9 +37,9 @@ spark = get_spark("ab-neardup", extra=extra)
 docs = read_documents(spark, f"{{sf_dir}}/documents.parquet").cache()
 docs.count()  # warm input so the timed section is the pipeline alone
 
-base = "http://localhost:4040/api/v1/applications"
-apps = json.load(urllib.request.urlopen(base))
-app_id = apps[0]["id"]
+# own UI endpoint + app id, never a hardcoded :4040 (round-4 ADVICE)
+base = f"{{spark.sparkContext.uiWebUrl}}/api/v1/applications"
+app_id = spark.sparkContext.applicationId
 
 def shuffle_totals():
     stages = json.load(urllib.request.urlopen(f"{{base}}/{{app_id}}/stages"))

@@ -52,9 +52,10 @@ cfg = ExactSubstrConfig(
 )
 # warm the input cache so the timed section measures the dedup job alone
 d.count()
-base = "http://localhost:4040/api/v1/applications"
-apps = json.load(urllib.request.urlopen(base))
-app_id = apps[0]["id"]
+# the session's OWN UI endpoint + app id — a hardcoded :4040 would silently
+# read another app's task metrics when 4040 is already taken (round-4 ADVICE)
+base = f"{{spark.sparkContext.uiWebUrl}}/api/v1/applications"
+app_id = spark.sparkContext.applicationId
 
 def shuffle_totals():
     stages = json.load(urllib.request.urlopen(f"{{base}}/{{app_id}}/stages"))

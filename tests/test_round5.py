@@ -1,0 +1,500 @@
+"""Round-5 coverage: path-keyed SA-index overlap memo, TFDS/HF sharded
+loaders (streaming HF path per round-4 ADVICE), one-bound-per-task shard
+fan-out, injected multimodal decoders, and the small ADVICE hygiene fixes
+(size-conf warning, AcrossDedupResult iteration deprecation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deduplicate_text_datasets_spark.config import ExactSubstrConfig
+from deduplicate_text_datasets_spark.sources.documents import (
+    DOCUMENTS_SCHEMA,
+    synth_documents_pandas,
+)
+
+
+@pytest.fixture(scope="module")
+def fixture_pdf():
+    return synth_documents_pandas(40, size_lo=30, size_hi=120)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, fixture_pdf):
+    return spark.createDataFrame(fixture_pdf, schema=DOCUMENTS_SCHEMA)
+
+
+# --- SA index: overlap memo keyed by path (round-4 verdict item 5) ---------
+
+
+def test_overlap_memo_survives_reread(spark, docs, tmp_path_factory):
+    """A re-read of the same stored index must hit the module-level
+    per-path memo instead of re-paying the one-column scan; a rewrite at
+    the same path must invalidate it (the rebuild may change overlap)."""
+    from deduplicate_text_datasets_spark.operators import sa_index as sx
+
+    cfg = ExactSubstrConfig(
+        length_threshold=50, shard_bytes=4096, overlap_bytes=64,
+        with_separators=True,
+    )
+    path = str(tmp_path_factory.mktemp("idx5") / "sa")
+    sx.write_suffix_index(sx.build_suffix_index(docs, cfg), path)
+
+    first = sx.read_suffix_index(spark, path)
+    sx.count_occurrences_indexed(first, [(0, b"abc")]).collect()
+    assert sx._OVERLAP_BY_PATH.get(path) == 64
+
+    # poison the PATH memo: a fresh frame from the same path must read it
+    # (proof it never re-aggregates), so this 2-byte query must now raise
+    sx._OVERLAP_BY_PATH[path] = 0
+    reread = sx.read_suffix_index(spark, path)
+    assert getattr(reread, "_sa_overlap_memo", None) is None  # fresh object
+    with pytest.raises(ValueError, match="overlap"):
+        sx.count_occurrences_indexed(reread, [(0, b"ab")]).collect()
+
+    # a rewrite at the same path drops the stale entry; the next query
+    # re-aggregates the true overlap and succeeds again
+    sx.write_suffix_index(sx.build_suffix_index(docs, cfg), path)
+    assert path not in sx._OVERLAP_BY_PATH
+    again = sx.read_suffix_index(spark, path)
+    sx.count_occurrences_indexed(again, [(0, b"ab")]).collect()
+    assert sx._OVERLAP_BY_PATH.get(path) == 64
+
+
+# --- self_similar dup-key prefilter (round-4 verdict item 1) -----------------
+
+
+SS_CFG = ExactSubstrConfig(
+    length_threshold=50, shard_bytes=4096, overlap_bytes=64,
+    with_separators=True,
+)
+
+
+def test_self_similar_prefilter_parity(spark, docs):
+    """prefilter mode must be bit-identical to the copartition plan, and
+    the guard-exceeded fallback must warn and still return it."""
+    from deduplicate_text_datasets_spark.operators.suffix import self_similar
+
+    base = sorted(tuple(r) for r in self_similar(docs, SS_CFG).collect())
+    assert len(base) > 0
+    spark.catalog.clearCache()
+    pre = sorted(
+        tuple(r) for r in self_similar(docs, SS_CFG, prefilter=True).collect()
+    )
+    assert pre == base
+    spark.catalog.clearCache()
+    with pytest.warns(UserWarning, match="dup-key"):
+        fb = self_similar(docs, SS_CFG, prefilter=True, prefilter_max_keys=1)
+    assert sorted(tuple(r) for r in fb.collect()) == base
+    spark.catalog.clearCache()
+
+
+def test_prefilter_pass2_ships_only_candidates(spark, docs):
+    """The pass-2 fingerprint frame must contain EXACTLY the positions
+    whose h1 key is globally non-unique — i.e. the singleton ~majority
+    never enters the exchange (the whole point of the prefilter)."""
+    from deduplicate_text_datasets_spark.operators.suffix import (
+        window_fingerprints,
+        window_keys,
+    )
+
+    fp_full = window_fingerprints(docs, SS_CFG).cache()
+    n_all = fp_full.count()
+    expected = (
+        fp_full.groupBy("h1")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter("c >= 2")
+        .agg(F.sum("c").alias("s"))
+        .collect()[0]["s"]
+    ) or 0
+    key_pdf = (
+        window_keys(docs, SS_CFG)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter("c >= 2")
+        .select("k")
+        .toPandas()
+    )
+    keys = np.sort(key_pdf["k"].to_numpy(np.int64))
+    bc = spark.sparkContext.broadcast(keys)
+    n_pre = window_fingerprints(docs, SS_CFG, dup_keys_bc=bc).count()
+    assert n_pre == expected
+    assert n_pre < n_all, "fixture has no singleton windows? test is vacuous"
+    fp_full.unpersist()
+    spark.catalog.clearCache()
+
+
+# --- sources hygiene (round-4 ADVICE) ---------------------------------------
+
+
+def test_size_bytes_warns_on_garbage():
+    from deduplicate_text_datasets_spark.sources.documents import _size_bytes
+
+    assert _size_bytes("128m") == 128 << 20
+    assert _size_bytes("134217728b") == 134217728
+    with pytest.warns(UserWarning, match="maxPartitionBytes"):
+        assert _size_bytes("12 parsecs") == 128 << 20
+
+
+def test_across_result_iter_deprecated():
+    from deduplicate_text_datasets_spark.plans.pipeline import (
+        AcrossDedupResult,
+    )
+
+    res = AcrossDedupResult(1, 2, 3, 4, 5, 6)
+    with pytest.warns(DeprecationWarning, match="A side"):
+        assert tuple(res) == (1, 2, 3)
+    # named fields carry the full symmetric result
+    assert (res.dups_b, res.ranges_b, res.deduped_b) == (4, 5, 6)
+
+
+def test_sharded_text_one_bound_per_task(spark):
+    """repartitionByRange on lo gives every [lo, hi) bound its own task —
+    hash partitioning could serialize several shard loads in one task and
+    leave other slots idle (round-4 ADVICE)."""
+    from deduplicate_text_datasets_spark.sources.documents import (
+        read_sharded_text,
+    )
+
+    def loader(lo, hi):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        return [f"p{pid}" for _ in range(lo, hi)]
+
+    df = read_sharded_text(spark, 23, loader, "x://", 5)  # 5 bounds
+    by_bound = {
+        r["doc_id"] // 5: r["text"] for r in df.select("doc_id", "text").collect()
+    }
+    assert len(by_bound) == 5
+    assert len(set(by_bound.values())) == 5, (
+        f"shard bounds shared tasks: {by_bound}"
+    )
+
+
+# --- HF streaming slice loader (round-4 ADVICE medium) ----------------------
+
+
+class _FakeHFStream:
+    """Records skip/take and serves dict examples like an IterableDataset."""
+
+    def __init__(self, rows, calls):
+        self._rows = rows
+        self._calls = calls
+
+    def skip(self, n):
+        self._calls.append(("skip", n))
+        return _FakeHFStream(self._rows[n:], self._calls)
+
+    def take(self, n):
+        self._calls.append(("take", n))
+        return _FakeHFStream(self._rows[:n], self._calls)
+
+    def __iter__(self):
+        return iter(self._rows)
+
+
+class _FakeHFDatasets:
+    def __init__(self, n=23):
+        self.calls = []
+        self._rows = [{"text": f"doc {i}", "junk": i} for i in range(n)]
+
+    def load_dataset(self, name, split=None, streaming=False):
+        self.calls.append(("load_dataset", name, split, streaming))
+        if streaming:
+            return _FakeHFStream(self._rows, self.calls)
+        # slice syntax path: split like 'train[lo:hi]'
+        lo, hi = split[split.index("[") + 1 : -1].split(":")
+        rows = self._rows[int(lo) : int(hi)]
+
+        class _Shard:
+            column_names = ["text", "junk"]
+
+            def __getitem__(self, key):
+                return [r[key] for r in rows]
+
+        return _Shard()
+
+
+def test_hf_slice_loader_streaming_no_full_prepare():
+    """streaming=True must stream + skip/take — never issue a full-split
+    (or slice-syntax) prepare that downloads the whole split per node."""
+    from deduplicate_text_datasets_spark.sources.documents import (
+        _hf_load_slice,
+    )
+
+    fake = _FakeHFDatasets()
+    out = _hf_load_slice(fake, "c4", "train", "text", True, 10, 15)
+    assert out == [f"doc {i}" for i in range(10, 15)]
+    assert ("load_dataset", "c4", "train", True) in fake.calls
+    assert ("skip", 10) in fake.calls and ("take", 5) in fake.calls
+    # no slice-syntax (prepared) load anywhere
+    assert not any(
+        c[0] == "load_dataset" and not c[3] for c in fake.calls
+    )
+
+
+def test_hf_slice_loader_prepared_path():
+    from deduplicate_text_datasets_spark.sources.documents import (
+        _hf_load_slice,
+    )
+
+    fake = _FakeHFDatasets()
+    out = _hf_load_slice(fake, "c4", "train", "text", False, 5, 9)
+    assert out == [f"doc {i}" for i in range(5, 9)]
+    assert ("load_dataset", "c4", "train[5:9]", False) in fake.calls
+
+
+def test_hf_streaming_sharded_e2e(spark):
+    """The streaming slice loader driving the real sharded reader end to
+    end. The fake module is defined INSIDE the test so cloudpickle ships
+    it by value into the executor tasks (the tests module itself is not
+    importable on workers)."""
+    from deduplicate_text_datasets_spark.sources.documents import (
+        _hf_load_slice,
+        read_sharded_text,
+    )
+
+    class Stream:
+        def __init__(self, rows):
+            self._rows = rows
+
+        def skip(self, n):
+            return Stream(self._rows[n:])
+
+        def take(self, n):
+            return Stream(self._rows[:n])
+
+        def __iter__(self):
+            return iter(self._rows)
+
+    class FakeDS:
+        def load_dataset(self, name, split=None, streaming=False):
+            assert streaming, "e2e loader must use the streaming path"
+            return Stream([{"text": f"doc {i}"} for i in range(23)])
+
+    def loader(lo, hi):
+        return _hf_load_slice(FakeDS(), "c4", "train", "text", True, lo, hi)
+
+    df = read_sharded_text(spark, 23, loader, "hf://c4/train/", 5)
+    rows = df.orderBy("doc_id").collect()
+    assert [r["text"] for r in rows] == [f"doc {i}" for i in range(23)]
+    assert rows[4]["url"] == "hf://c4/train/4"
+
+
+# --- TFDS sharded loader (round-4 verdict item 6) ----------------------------
+
+
+class _FakeTFDS:
+    """tfds.load / tfds.as_numpy / tfds.builder stand-in; examples carry
+    bytes text like real TFDS text features."""
+
+    def __init__(self, n=17):
+        self.calls = []
+        self._rows = [{"text": f"wiki {i}".encode()} for i in range(n)]
+        n_total = n
+
+        class _Split:
+            num_examples = n_total
+
+        class _Info:
+            splits = {"train": _Split()}
+
+        class _Builder:
+            info = _Info()
+
+        self._builder = _Builder()
+
+    def builder(self, name):
+        self.calls.append(("builder", name))
+        return self._builder
+
+    def load(self, name, split=None):
+        self.calls.append(("load", name, split))
+        lo, hi = split[split.index("[") + 1 : -1].split(":")
+        return self._rows[int(lo) : int(hi)]
+
+    def as_numpy(self, ds):
+        return iter(ds)
+
+
+def test_tfds_load_slice():
+    from deduplicate_text_datasets_spark.sources.documents import (
+        _tfds_load_slice,
+    )
+
+    fake = _FakeTFDS()
+    out = _tfds_load_slice(fake, "wiki40b", "train", "text", 3, 8)
+    assert out == [f"wiki {i}" for i in range(3, 8)]  # bytes decoded
+    assert ("load", "wiki40b", "train[3:8]") in fake.calls
+
+
+def test_tfds_sharded_e2e(spark, monkeypatch):
+    """read_tfds_dataset with a fake tensorflow_datasets module: driver
+    reads split metadata only; executors load [lo:hi] sub-splits through
+    the real sharded plumbing (the loader closure re-imports the module,
+    so the monkeypatched sys.modules entry must be picklable — we inject
+    via the module-level slice function instead, same pattern as HF)."""
+    from deduplicate_text_datasets_spark.sources.documents import (
+        _tfds_load_slice,
+        read_sharded_text,
+    )
+
+    class FakeTFDS:
+        def load(self, name, split=None):
+            lo, hi = split[split.index("[") + 1 : -1].split(":")
+            return [
+                {"text": f"wiki {i}".encode()}
+                for i in range(int(lo), int(hi))
+            ]
+
+        def as_numpy(self, ds):
+            return iter(ds)
+
+    def loader(lo, hi):
+        return _tfds_load_slice(FakeTFDS(), "wiki40b", "train", "text", lo, hi)
+
+    df = read_sharded_text(spark, 17, loader, "tfds://wiki40b/train/", 4)
+    rows = df.orderBy("doc_id").collect()
+    assert [r["text"] for r in rows] == [f"wiki {i}" for i in range(17)]
+    assert rows[0]["url"] == "tfds://wiki40b/train/0"
+
+
+def test_tfds_metadata_and_raise(monkeypatch):
+    """Driver half of read_tfds_dataset: metadata-only sizing + clean raise
+    without the package."""
+    import sys
+
+    from deduplicate_text_datasets_spark.sources import documents as docs_mod
+
+    # without the package: clean NotImplementedError naming alternatives
+    monkeypatch.setitem(sys.modules, "tensorflow_datasets", None)
+    with pytest.raises((NotImplementedError, ImportError)):
+        docs_mod.read_tfds_dataset(None, "wiki40b")
+
+    # with a fake package: unknown split surfaces the available ones
+    monkeypatch.setitem(sys.modules, "tensorflow_datasets", _FakeTFDS())
+    with pytest.raises(ValueError, match="splits"):
+        docs_mod.read_tfds_dataset(None, "wiki40b", split="validation")
+
+
+# --- pure-Python xxh64 oracle (round-4 verdict item 4 groundwork) ------------
+
+
+def test_xxh64_matches_spark(spark):
+    """oracle.xxh64 must reproduce Spark's xxhash64 bit-for-bit for the
+    shapes the gate queries hash: strings (token hashes) and array<long>
+    (shingle hash-of-slice) — else the golden sidecars are garbage."""
+    import random
+
+    from deduplicate_text_datasets_spark.oracle.xxh64 import (
+        xxhash64_long_array,
+        xxhash64_str,
+    )
+
+    rng = random.Random(7)
+    strs = [
+        "", "a", "hello", "Hello World!", "x" * 7, "y" * 8, "z" * 31,
+        "w" * 32, "long " * 20, "unicode é中文 mix",
+    ] + ["".join(rng.choices("abcdef 0123", k=rng.randint(0, 90))) for _ in range(30)]
+    arrs = [[], [0], [1, 2, 3], [-1, -(1 << 63), (1 << 63) - 1]] + [
+        [rng.randint(-(1 << 63), (1 << 63) - 1) for _ in range(rng.randint(1, 12))]
+        for _ in range(20)
+    ]
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strs)], "i long, s string"
+    ).select("i", F.xxhash64("s").alias("h"))
+    got = {r["i"]: r["h"] for r in df.collect()}
+    for i, s in enumerate(strs):
+        assert got[i] == xxhash64_str(s), f"string mismatch: {s!r}"
+
+    df2 = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(arrs)], "i long, a array<long>"
+    ).select("i", F.xxhash64("a").alias("h"))
+    got2 = {r["i"]: r["h"] for r in df2.collect()}
+    for i, a in enumerate(arrs):
+        assert got2[i] == xxhash64_long_array(a), f"array mismatch: {a!r}"
+
+
+# --- multimodal: injected decoder (round-4 verdict item 7) -------------------
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    import pandas as pd
+
+    from deduplicate_text_datasets_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "media_type": ["image", "image", "audio"],
+            "payload": [bytes([i] * (32 + i)) for i in range(3)],
+            "meta": [{"w": "8"}, {"w": "8"}, {"sr": "16k"}],
+        }
+    )
+    return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+
+
+def test_extract_features_injected_decoder(media):
+    """A caller-supplied decoder callable rides the seam into the Arrow
+    kernel — environments with PIL/ffmpeg get the real path with no code
+    edits (round-4 verdict item 7)."""
+    from deduplicate_text_datasets_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    def my_decoder(payload, media_type, dim):
+        v = np.zeros(dim)
+        v[0] = len(payload)
+        v[1] = 1.0 if media_type == "audio" else 0.0
+        return v
+
+    rows = {
+        r["doc_id"]: r
+        for r in extract_features(media, dim=4, decoder=my_decoder).collect()
+    }
+    assert rows[0]["feature"][0] == 32.0
+    assert rows[2]["feature"][1] == 1.0  # audio flag
+    assert rows[1]["n_bytes"] == 33
+
+
+def test_extract_features_decoder_validation(media):
+    from deduplicate_text_datasets_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    with pytest.raises(ValueError, match="decoder"):
+        extract_features(media, decoder="ffmpeg")
+
+    def bad_shape(payload, media_type, dim):
+        return np.zeros(dim + 1)
+
+    with pytest.raises(Exception, match="shape"):
+        extract_features(media, dim=4, decoder=bad_shape).collect()
+
+
+def test_extract_features_pil_decoder(media):
+    """Real-decoder smoke: only runs where PIL exists (not this container)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+
+    from deduplicate_text_datasets_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    def pil_decoder(payload, media_type, dim):
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload)).convert("L").resize((dim, 1))
+        return np.asarray(img, dtype=np.float64).ravel() / 255.0
+
+    # would need real image payloads; presence of PIL is the gate
+    assert PIL_Image is not None
