@@ -331,6 +331,56 @@ def raw_cpu_control(small: int, big: int) -> dict:
     }
 
 
+def control_gate(
+    small: int = 2,
+    big: int = 8,
+    band: tuple[float, float] | None = None,
+) -> dict:
+    """Refuse to record absolutes from a degraded host window (round-4
+    verdict item 3). Runs the pure-ALU ``raw_cpu_control`` FIRST; if its
+    strong-scaling efficiency falls outside ``band``, sleep and retry up
+    to SPARK_GRAFT_CONTROL_ATTEMPTS (default 5) times before giving up.
+
+    Bands are centered on the *healthy-window* history for each width
+    pair (BASELINE.md round-3/4 controls): 2v8 ALU efficiency is ~1.0
+    healthy vs 0.725 in the round-4 episode; 8v32 is ~0.61 healthy (32
+    logical = 16 physical cores) vs 0.319 degraded. The caller proceeds
+    regardless after the attempts are exhausted, but the artifact then
+    carries ``in_band: false`` so the reader knows the window was bad —
+    a recorded number is never silently episode-contaminated again.
+
+    Disable with SPARK_GRAFT_CONTROL_GATE="" (e.g. in CI smoke runs).
+    """
+    if band is None:
+        band = {(2, 8): (0.85, 1.15), (8, 32): (0.48, 1.15)}.get(
+            (small, big), (0.7, 1.2)
+        )
+    attempts = int(os.environ.get("SPARK_GRAFT_CONTROL_ATTEMPTS", "5"))
+    sleep_s = float(os.environ.get("SPARK_GRAFT_CONTROL_SLEEP", "60"))
+    history = []
+    for i in range(max(1, attempts)):
+        ctl = raw_cpu_control(small, big)
+        history.append(ctl["efficiency"])
+        in_band = band[0] <= ctl["efficiency"] <= band[1]
+        if in_band:
+            break
+        print(
+            f"[bench] control gate: ALU {small}v{big} efficiency "
+            f"{ctl['efficiency']} outside {band} (attempt {i + 1}/"
+            f"{attempts}) — host window degraded, sleeping {sleep_s}s",
+            file=sys.stderr,
+        )
+        if i + 1 < attempts:
+            time.sleep(sleep_s)
+    return {
+        "levels": [small, big],
+        "band": list(band),
+        "attempts": history,
+        "in_band": in_band,
+        "control": ctl,
+    }
+
+
 def run_scaling(
     sf_dir: str,
     n_docs: int | None = None,
@@ -367,6 +417,10 @@ def run_scaling(
         for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8").split(",")
     )
     out: dict = {}
+    if os.environ.get("SPARK_GRAFT_CONTROL_GATE", "1"):
+        # gate BEFORE the legs so the recorded efficiency is from a sane
+        # window (round-4's 0.685 artifact was host-episode noise)
+        out["control_gate"] = control_gate(small, big)
 
     def one_leg(cores: int) -> dict:
         env = dict(os.environ)
@@ -525,6 +579,11 @@ def run_stress(n_docs: int | None = None) -> dict:
 
 def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    # Health-gate the whole recording session up front: don't even start
+    # the headline suite inside a degraded host window (verdict item 3).
+    pre_gate = None
+    if os.environ.get("SPARK_GRAFT_CONTROL_GATE", "1"):
+        pre_gate = control_gate(2, 8)
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     _docs(spark, SF_DIR).cache().count()  # shared scan+repartition, warm workers
     # Min over rounds per query: the host's multi-minute contention
@@ -562,6 +621,8 @@ def main() -> None:
         "queries_first_attempt": first_attempt,
         "sf": float(sf),
     }
+    if pre_gate is not None:
+        result["host_control_gate"] = pre_gate
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
         try:
             result["scaling"] = run_scaling(SF_DIR)

@@ -1,13 +1,24 @@
 """Measure the exchange bytes of the self-similar (ExactSubstr core) job
-with and without fingerprint co-partitioning (round-4 optimization:
-repartition the persisted fingerprint frame by (h1, h2) so the stats agg
-and join-back run exchange-free).
+across its three plan modes:
 
-Each mode runs in its own fresh process/session with the Spark UI enabled;
+* plain      — persisted fingerprint frame, no copartition (round-3 plan)
+* copart     — fingerprint frame repartitioned by (h1, h2) before caching
+               (round-4: one 24 B/position exchange total)
+* prefilter  — two-pass dup-key prefilter (round-5: pass-1 key exchange +
+               24 B/position only for probable-dup positions)
+
+Each leg runs in its own fresh process/session with the Spark UI enabled;
 total shuffle read/write bytes come from the UI REST API (exact task
-metrics, not estimates). Usage:
+metrics, not estimates). Legs are interleaved across rounds to ride out
+host contention episodes; best wall per mode is kept (exchange bytes are
+deterministic per mode). Usage:
 
-    python scripts/measure_exchange.py [sf_dir]
+    python scripts/measure_exchange.py [sf_dir] [--no-broadcast] [--distinct]
+
+--no-broadcast emulates the 100-TB regime (dup-key stats frame outgrows
+any broadcast threshold). --distinct drops exact-duplicate texts first,
+approximating a low-dup-density corpus (the prefilter's target regime —
+the raw fixture is dup-dense, which understates the prefilter win).
 """
 
 from __future__ import annotations
@@ -16,10 +27,10 @@ import json
 import os
 import subprocess
 import sys
-import time
-import urllib.request
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+MODES = ("plain", "copart", "prefilter")
 
 CHILD = r"""
 import json, os, sys, time, urllib.request
@@ -33,9 +44,10 @@ from deduplicate_text_datasets_spark.sources.corpus import (
 from deduplicate_text_datasets_spark.config import ExactSubstrConfig
 from deduplicate_text_datasets_spark.operators.suffix import self_similar
 
-copart = sys.argv[1] == "1"
+mode = sys.argv[1]
 sf_dir = sys.argv[2]
-no_broadcast = len(sys.argv) > 3 and sys.argv[3] == "nb"
+no_broadcast = "nb" in sys.argv[3:]
+distinct = "distinct" in sys.argv[3:]
 extra = {{"spark.ui.enabled": "true"}}
 if no_broadcast:
     # emulate the 100-TB regime where the dup-key stats frame outgrows the
@@ -43,6 +55,8 @@ if no_broadcast:
     extra["spark.sql.adaptive.autoBroadcastJoinThreshold"] = "-1"
 spark = get_spark("measure-exchange", extra=extra)
 docs = read_documents(spark, f"{{sf_dir}}/documents.parquet")
+if distinct:
+    docs = docs.dropDuplicates(["text"])
 d = with_offsets(docs, True).cache()
 total = corpus_total_bytes(d)
 cfg = ExactSubstrConfig(
@@ -63,27 +77,36 @@ def shuffle_totals():
     r = sum(s.get("shuffleReadBytes", 0) for s in stages)
     return w, r
 
+kwargs = {{
+    "plain": {{"copartition": False, "prefilter": False}},
+    "copart": {{"copartition": True, "prefilter": False}},
+    "prefilter": {{"prefilter": True}},
+}}[mode]
 w0, r0 = shuffle_totals()
 t0 = time.time()
-out = self_similar(d, cfg, copartition=copart)
+out = self_similar(d, cfg, **kwargs)
 n = out.count()
 wall = time.time() - t0
 time.sleep(1.0)  # let the UI ingest the final task metrics
 w1, r1 = shuffle_totals()
 print(json.dumps({{
-    "copartition": copart, "no_broadcast": no_broadcast, "rows": n,
-    "wall_s": round(wall, 2),
+    "mode": mode, "no_broadcast": no_broadcast, "distinct": distinct,
+    "rows": n, "wall_s": round(wall, 2),
     "shuffle_write_bytes": w1 - w0, "shuffle_read_bytes": r1 - r0,
 }}))
 spark.stop()
 """
 
 
-def run_mode(copart: bool, sf_dir: str, no_broadcast: bool = False) -> dict:
+def run_mode(
+    mode: str, sf_dir: str, no_broadcast: bool = False, distinct: bool = False
+) -> dict:
     script = CHILD.format(repo=REPO)
-    argv = [sys.executable, "-c", script, "1" if copart else "0", sf_dir]
+    argv = [sys.executable, "-c", script, mode, sf_dir]
     if no_broadcast:
         argv.append("nb")
+    if distinct:
+        argv.append("distinct")
     out = subprocess.run(argv, capture_output=True, text=True, timeout=1200)
     for line in out.stdout.splitlines()[::-1]:
         if line.startswith("{"):
@@ -92,31 +115,41 @@ def run_mode(copart: bool, sf_dir: str, no_broadcast: bool = False) -> dict:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     nb = "--no-broadcast" in sys.argv
+    distinct = "--distinct" in sys.argv
     results = []
     # interleave to ride out host contention episodes; keep best per mode
     for _round in range(2):
-        for copart in (False, True):
-            results.append(run_mode(copart, sf_dir, nb))
+        for mode in MODES:
+            results.append(run_mode(mode, sf_dir, nb, distinct))
             print(json.dumps(results[-1]), flush=True)
-    best = {}
+    best: dict[str, dict] = {}
     for r in results:
-        k = r["copartition"]
+        k = r["mode"]
         if k not in best or r["wall_s"] < best[k]["wall_s"]:
             best[k] = r
-    old, new = best[False], best[True]
+    rows = {m: best[m]["rows"] for m in MODES}
+    assert len(set(rows.values())) == 1, f"output rows diverge: {rows}"
     summary = {
         "sf_dir": sf_dir,
         "no_broadcast": nb,
-        "old": old,
-        "new": new,
-        "shuffle_write_ratio": round(
-            new["shuffle_write_bytes"] / max(1, old["shuffle_write_bytes"]), 3
+        "distinct": distinct,
+        **{m: best[m] for m in MODES},
+        "write_ratio_copart_vs_plain": round(
+            best["copart"]["shuffle_write_bytes"]
+            / max(1, best["plain"]["shuffle_write_bytes"]), 3
         ),
-        "wall_ratio": round(new["wall_s"] / max(1e-9, old["wall_s"]), 3),
+        "write_ratio_prefilter_vs_copart": round(
+            best["prefilter"]["shuffle_write_bytes"]
+            / max(1, best["copart"]["shuffle_write_bytes"]), 3
+        ),
+        "wall_ratio_prefilter_vs_copart": round(
+            best["prefilter"]["wall_s"] / max(1e-9, best["copart"]["wall_s"]), 3
+        ),
     }
     print("FINAL " + json.dumps(summary))
 
