@@ -377,19 +377,24 @@ def self_similar(
         key_pdf = dup_keys.limit(prefilter_max_keys + 1).toPandas()
         if len(key_pdf) <= prefilter_max_keys:
             keys = np.sort(key_pdf["k"].to_numpy(np.int64))
-            bc = docs.sparkSession.sparkContext.broadcast(keys)
-            fp = scoped_persist(window_fingerprints(docs, cfg, total, bc))
-            return find_duplicates(fp, cfg)
-        import warnings
+            dup_keys_bc = docs.sparkSession.sparkContext.broadcast(keys)
+        else:
+            import warnings
 
-        warnings.warn(
-            f"self_similar prefilter: dup-key set exceeds "
-            f"{prefilter_max_keys} keys (corpus is dup-dense); falling "
-            "back to the copartition plan",
-            stacklevel=2,
-        )
+            warnings.warn(
+                f"self_similar prefilter: dup-key set exceeds "
+                f"{prefilter_max_keys} keys (corpus is dup-dense); falling "
+                "back to the copartition plan",
+                stacklevel=2,
+            )
+            dup_keys_bc = None
+    else:
+        dup_keys_bc = None
 
-    fp = window_fingerprints(docs, cfg, total)
+    # the prefiltered frame honors copartition/persist too: in the
+    # no-broadcast (100-TB) regime its stats agg + join-back still want the
+    # single (h1, h2)-clustered exchange, just over a ~dup_fraction frame
+    fp = window_fingerprints(docs, cfg, total, dup_keys_bc)
     if copartition and persist_fp:
         # only with persist: uncached, each consumer would re-run the
         # repartition exchange anyway (no saving over the status quo)

@@ -56,7 +56,20 @@ if no_broadcast:
 spark = get_spark("measure-exchange", extra=extra)
 docs = read_documents(spark, f"{{sf_dir}}/documents.parquet")
 if distinct:
-    docs = docs.dropDuplicates(["text"])
+    # deterministic exact-dedup: keep min(doc_id) per text. A plain
+    # dropDuplicates(["text"]) picks an ARBITRARY winner per text and
+    # with_offsets self-joins its input, so the two join branches can keep
+    # DIFFERENT winners on recomputation -> missing docs -> the shard
+    # kernels' coverage invariant fires (observed at sf0.1).
+    from pyspark.sql import functions as F
+
+    keep = (
+        docs.select(F.xxhash64("text").alias("_h"), "doc_id")
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    docs = docs.join(keep, "doc_id", "left_semi")
 d = with_offsets(docs, True).cache()
 total = corpus_total_bytes(d)
 cfg = ExactSubstrConfig(
