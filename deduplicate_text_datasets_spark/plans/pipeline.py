@@ -156,6 +156,8 @@ def across_dedup(
     docs_b: DataFrame,
     cfg: EngineConfig,
     copartition: bool = True,
+    prefilter: bool | None = None,
+    prefilter_max_keys: int | None = None,
 ) -> AcrossDedupResult:
     """Cross-corpus contamination pipeline (README.md:324-340:
     across-similar + collect + strike — the reference runs collect/finish
@@ -164,20 +166,90 @@ def across_dedup(
     dups_a are the positions of A whose length-L window also occurs in B,
     and vice versa; each side gets its own coalesced remove_ranges and
     struck documents. Unpacking as a 3-tuple still yields the A side.
+
+    prefilter=True (the at-scale mode; env SPARK_GRAFT_ACROSS_PREFILTER):
+    the production shape is wildly asymmetric — A = the 100-TB train
+    corpus, B = a GB-scale eval set (the reference's wiki40b-vs-C4 runs).
+    Both semi-joins only care about window keys present in BOTH corpora,
+    and every such key's h1 appears in the SMALL side's key set. So:
+
+      pass 1  h1-only key kernel over the smaller corpus -> distinct ->
+              collect + broadcast (guarded by ``prefilter_max_keys``,
+              default 2^24 = 128 MB; env
+              SPARK_GRAFT_ACROSS_PREFILTER_MAX_KEYS).
+      pass 2  the BIG side's fingerprint kernel re-runs with that set as
+              a map-side filter: only positions whose h1 occurs in the
+              small corpus ride the exchange — 24 B x contamination
+              fraction per position instead of 24 B per position.
+
+    Exactness: equal windows share h1, so every true cross-corpus match
+    survives on both sides (dups_b semi-joins against the PREFILTERED
+    keys_a, but an A key dropped by the prefilter has h1 absent from B
+    and so could never match a B window); h1 collisions only ADD big-side
+    candidates, which the exact (h1, h2) semi-join then discards. If the
+    small side's key set exceeds the guard, warns and falls back to the
+    copartitioned two-sided plan.
     """
-    from ..operators.suffix import across_similar, window_fingerprints
+    import os
+
+    import numpy as np
+
+    from ..operators.suffix import (
+        across_similar,
+        window_fingerprints,
+        window_keys,
+    )
     from ..sources.corpus import corpus_total_bytes, with_offsets
     from .caching import scoped_persist
 
+    if prefilter is None:
+        prefilter = os.environ.get("SPARK_GRAFT_ACROSS_PREFILTER", "0") == "1"
+    if prefilter_max_keys is None:
+        prefilter_max_keys = int(
+            os.environ.get(
+                "SPARK_GRAFT_ACROSS_PREFILTER_MAX_KEYS", str(1 << 24)
+            )
+        )
+
     da = scoped_persist(with_offsets(docs_a, cfg.exact.with_separators))
     db = scoped_persist(with_offsets(docs_b, cfg.exact.with_separators))
+    total_a = corpus_total_bytes(da)
+    total_b = corpus_total_bytes(db)
+
+    bc_a = bc_b = None  # pass-2 map-side filters for fp_a / fp_b
+    if prefilter:
+        small_is_b = total_b <= total_a
+        key_docs, key_total = (db, total_b) if small_is_b else (da, total_a)
+        key_pdf = (
+            window_keys(key_docs, cfg.exact, key_total)
+            .distinct()
+            .limit(prefilter_max_keys + 1)
+            .toPandas()
+        )
+        if len(key_pdf) <= prefilter_max_keys:
+            keys = np.sort(key_pdf["k"].to_numpy(np.int64))
+            bc = docs_a.sparkSession.sparkContext.broadcast(keys)
+            if small_is_b:
+                bc_a = bc
+            else:
+                bc_b = bc
+        else:
+            import warnings
+
+            warnings.warn(
+                f"across_dedup prefilter: the smaller corpus's key set "
+                f"exceeds {prefilter_max_keys} keys; falling back to the "
+                "copartition plan",
+                stacklevel=2,
+            )
+
     # each fingerprint frame feeds both the distinct-keys side and the
     # semi-join probe side — persist or the shard kernels run twice per
     # side. Co-partitioned on the window key (self_similar copartition
     # design): the distinct aggs run on the cached partitioning and the
     # two semi-joins co-locate without re-exchanging either side.
-    fp_a = window_fingerprints(da, cfg.exact, corpus_total_bytes(da))
-    fp_b = window_fingerprints(db, cfg.exact, corpus_total_bytes(db))
+    fp_a = window_fingerprints(da, cfg.exact, total_a, bc_a)
+    fp_b = window_fingerprints(db, cfg.exact, total_b, bc_b)
     if copartition:
         fp_a = fp_a.repartition("h1", "h2")
         fp_b = fp_b.repartition("h1", "h2")

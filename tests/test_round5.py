@@ -597,3 +597,82 @@ def test_extract_features_pil_decoder(media):
 
     # would need real image payloads; presence of PIL is the gate
     assert PIL_Image is not None
+
+
+# --- across_dedup small-side key prefilter (round-5) -------------------------
+
+
+def _across_sides(spark):
+    """Asymmetric split of a fresh fixture: even doc_ids -> A (bigger, gets
+    the straddle docs), odd -> B. Exact-dup roles (k-1, k) with k odd give
+    cross-side contamination at L=50 once docs are >= ~60 bytes."""
+    pdf = synth_documents_pandas(40, size_lo=60, size_hi=200)
+    docs = spark.createDataFrame(pdf, schema=DOCUMENTS_SCHEMA)
+    return docs.filter(F.col("doc_id") % 2 == 0), docs.filter(
+        F.col("doc_id") % 2 == 1
+    )
+
+
+def _across_key(res):
+    """Order-free signature of all six result frames."""
+    return (
+        sorted(r["pos"] for r in res.dups_a.collect()),
+        sorted(tuple(r) for r in res.ranges_a.collect()),
+        sorted((r["doc_id"], bytes(r["deduped"])) for r in res.deduped_a.collect()),
+        sorted(r["pos"] for r in res.dups_b.collect()),
+        sorted(tuple(r) for r in res.ranges_b.collect()),
+        sorted((r["doc_id"], bytes(r["deduped"])) for r in res.deduped_b.collect()),
+    )
+
+
+def test_across_dedup_prefilter_parity(spark):
+    """prefilter mode must be bit-identical to the default plan on all six
+    output frames, and the guard-exceeded fallback must warn and match."""
+    from deduplicate_text_datasets_spark.config import EngineConfig
+    from deduplicate_text_datasets_spark.plans.pipeline import across_dedup
+
+    cfg = EngineConfig(exact=SS_CFG)
+    docs_a, docs_b = _across_sides(spark)
+    base = _across_key(across_dedup(docs_a, docs_b, cfg))
+    assert base[0] and base[3], "fixture must contaminate both sides"
+    spark.catalog.clearCache()
+    pre = _across_key(across_dedup(docs_a, docs_b, cfg, prefilter=True))
+    assert pre == base
+    spark.catalog.clearCache()
+    with pytest.warns(UserWarning, match="key set"):
+        fb = across_dedup(
+            docs_a, docs_b, cfg, prefilter=True, prefilter_max_keys=1
+        )
+        fb_key = _across_key(fb)
+    assert fb_key == base
+    spark.catalog.clearCache()
+
+
+def test_across_prefilter_big_side_ships_only_candidates(spark):
+    """Pass 2 on the big side must emit EXACTLY the positions whose h1
+    occurs in the small side's key set — the cross-corpus analogue of the
+    self_similar prefilter invariant."""
+    from deduplicate_text_datasets_spark.operators.suffix import (
+        window_fingerprints,
+        window_keys,
+    )
+
+    docs_a, docs_b = _across_sides(spark)
+    keys_b = np.sort(
+        window_keys(docs_b, SS_CFG)
+        .distinct()
+        .toPandas()["k"]
+        .to_numpy(np.int64)
+    )
+    fp_a_full = window_fingerprints(docs_a, SS_CFG).cache()
+    expected = (
+        fp_a_full.filter(
+            F.col("h1").isin([int(k) for k in keys_b])
+        ).count()
+    )
+    bc = spark.sparkContext.broadcast(keys_b)
+    n_pre = window_fingerprints(docs_a, SS_CFG, dup_keys_bc=bc).count()
+    assert n_pre == expected
+    assert 0 < n_pre < fp_a_full.count()
+    fp_a_full.unpersist()
+    spark.catalog.clearCache()
