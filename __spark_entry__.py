@@ -292,6 +292,64 @@ def _q_ann_topk(spark, sf_dir):
     return cosine_topk(emb, queries, k=10).select("query_id", "rank", "neighbor_id")
 
 
+def _q_canonical_pages(spark, sf_dir):
+    """Crawl-log canonicalization (input_hint web-pages shape): a
+    deterministic crawl log is derived from the documents table — each doc
+    yields 1-3 fetches of its page under real-crawl URL decorations
+    (fragment + utm params + uppercased host + trailing slash; a ?ref=kept
+    param that canonicalization must PRESERVE), and every doc_id%10==7 doc
+    re-crawls its predecessor's page so keep-latest crosses documents —
+    then collapsed to one row per canonical URL. The DuckDB oracle rebuilds
+    the identical log and normalizes with the SAME regex constants
+    (functions/url.py is the single source of truth for both sides)."""
+    from deduplicate_text_datasets_spark.operators.webpages import canonical_pages
+
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    base = (
+        F.when(F.col("doc_id") % 10 == 7, F.col("doc_id") - 1)
+        .otherwise(F.col("doc_id"))
+        .cast("string")
+    )
+    v = F.col("v")
+    d = F.col("doc_id").cast("string")
+    crawls = raw.select(
+        "doc_id",
+        "source",
+        base.alias("base_id"),
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+        ).alias("v"),
+    ).select(
+        "doc_id",
+        (F.col("doc_id") * 137 + v * 1000).cast("long").alias("ts_secs"),
+        F.when(
+            v == 1,
+            F.concat(
+                F.lit("HTTPS://"), F.upper("source"), F.lit(".EXAMPLE/page"),
+                F.col("base_id"), F.lit("/?utm_source=feed&utm_campaign=c"),
+                d, F.lit("#frag"), d,
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example/page"),
+                F.col("base_id"), F.lit("?ref=kept&utm_medium=email"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example/page"),
+                F.col("base_id"),
+            )
+        )
+        .alias("url"),
+    )
+    return canonical_pages(crawls)
+
+
 # --- rows-only (non-SQL-expressible kernels; pytest-oracled) ---------------
 
 
@@ -436,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
         "ann_topk": _q_ann_topk,
+        "canonical_pages": _q_canonical_pages,
         "neardup_clusters": _q_neardup_clusters,
         "minhash_signatures": _q_minhash_signatures,
         "simhash_pairs": _q_simhash_pairs,
@@ -468,6 +527,10 @@ def _sidecar(query: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from deduplicate_text_datasets_spark.functions.url import (
+        normalize_url_sql as _norm_url_sql,
+    )
+
     # Overlap-aware substring counting (reference semantics: "aaaa" contains
     # "aa" 3 times, main.rs:629-632): probe every start offset instead of
     # the replace-length trick, which counts non-overlapping occurrences.
@@ -687,6 +750,31 @@ SELECT query_id, rank, neighbor_id FROM (
                             ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored
 ) WHERE rank <= 10""",
+        # Same deterministic crawl log as _q_canonical_pages; the URL
+        # normalization SQL is generated from the SAME regex constants the
+        # Spark Column uses (functions/url.py — single source of truth).
+        "canonical_pages": f"""
+WITH crawls AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 10 = 7 THEN doc_id - 1 ELSE doc_id END AS base_id,
+         UNNEST(range(0, doc_id % 3 + 1)) AS v
+  FROM documents
+), urls AS (
+  SELECT doc_id, CAST(doc_id * 137 + v * 1000 AS BIGINT) AS ts_secs,
+    CASE WHEN v = 1 THEN 'HTTPS://' || upper(source) || '.EXAMPLE/page' || base_id
+                         || '/?utm_source=feed&utm_campaign=c' || doc_id
+                         || '#frag' || doc_id
+         WHEN v = 2 THEN 'https://' || source || '.example/page' || base_id
+                         || '?ref=kept&utm_medium=email'
+         ELSE 'https://' || source || '.example/page' || base_id
+    END AS url
+  FROM crawls
+)
+SELECT {_norm_url_sql("url")} AS norm_url,
+       CAST(COUNT(*) AS BIGINT) AS n_crawls,
+       MAX(ts_secs) AS latest_ts_secs,
+       arg_max(doc_id, ts_secs) AS latest_doc_id
+FROM urls GROUP BY 1""",
         # NearDup flagship: exact-Jaccard edges (same integer threshold math
         # as verify_pairs) ∪ exact-dup edges -> recursive-CTE connected
         # components; LSH miss probability for a true J>=0.8 pair is ~5e-8
