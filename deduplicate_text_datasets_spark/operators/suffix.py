@@ -125,10 +125,11 @@ def _fingerprint_kernel(
     the trailing overlap is read, never emitted (ownership rule, the
     analogue of the merge-time overlap skip, main.rs:1262-1278).
 
-    ``dup_keys_bc`` (optional broadcast of a SORTED int64 array of
-    probable-duplicate h1 keys) is the prefilter's pass-2 map-side filter:
-    only positions whose h1 is in the set are emitted, so the exchange
-    ships probable-dup positions instead of every position."""
+    ``dup_keys_bc`` (optional broadcast membership sketch of probable-
+    duplicate h1 keys: a SORTED int64 array or a sketch.BloomSketch) is
+    the prefilter's pass-2 map-side filter: only positions whose h1 hits
+    the sketch are emitted, so the exchange ships probable-dup positions
+    instead of every position."""
     L = cfg.length_threshold
     s = int(shard_pdf["shard_id"].iloc[0])
     lo, buf = assemble_shard_buffer(
@@ -145,12 +146,9 @@ def _fingerprint_kernel(
     h1v = h1[a:b].view(np.int64)
     pos = np.arange(own_lo, own_hi, dtype=np.int64)
     if dup_keys_bc is not None:
-        keys = dup_keys_bc.value
-        if len(keys) == 0:
-            mask = np.zeros(len(h1v), dtype=bool)
-        else:
-            idx = np.searchsorted(keys, h1v).clip(0, len(keys) - 1)
-            mask = keys[idx] == h1v
+        from .sketch import sketch_contains
+
+        mask = sketch_contains(dup_keys_bc.value, h1v)
         h1v, pos = h1v[mask], pos[mask]
         # h2 only for survivors' slice — but window_hashes is whole-buffer
         # vectorized; slicing after is still the cheap path
@@ -274,6 +272,59 @@ def find_duplicates(fingerprints: DataFrame, cfg: ExactSubstrConfig) -> DataFram
     )
 
 
+def _prefilter_sketch_bc(
+    dup_keys: DataFrame, max_keys: int, sketch_mode: str | None = None
+):
+    """Dup-key frame -> broadcast membership sketch (None = no prefilter).
+
+    Modes (env SPARK_GRAFT_FP_SKETCH):
+      * ``auto`` (default) — exact sorted-int64 set while it fits the
+        broadcast guard (``max_keys``), **Bloom filter above it** — the
+        round-4 cliff (guard exceeded -> prefilter silently off, exactly
+        in the dup-dense regime) is gone: Bloom false positives only ADD
+        candidate positions (discarded by the exact post-shuffle (h1, h2)
+        stats filter), false negatives are impossible, so recall is exact
+        at ANY key count with a bounded broadcast
+        (SPARK_GRAFT_FP_BLOOM_MAX_BYTES, default 64 MiB).
+      * ``set``  — round-4 behavior (set or give up), kept A/B-able.
+      * ``bloom`` — force the Bloom path at any size (benches/tests).
+    """
+    import os
+    import warnings
+
+    if sketch_mode is None:
+        sketch_mode = os.environ.get("SPARK_GRAFT_FP_SKETCH", "auto")
+    sc = dup_keys.sparkSession.sparkContext
+    if sketch_mode != "set":
+        # the key frame feeds up to three jobs on the Bloom path (guard
+        # probe, count, slice build) — persist it once, scope-reclaimed
+        from ..plans.caching import scoped_persist
+
+        dup_keys = scoped_persist(dup_keys)
+    if sketch_mode != "bloom":
+        key_pdf = dup_keys.limit(max_keys + 1).toPandas()
+        if len(key_pdf) <= max_keys:
+            keys = np.sort(key_pdf["k"].to_numpy(np.int64))
+            return sc.broadcast(keys)
+        if sketch_mode == "set":
+            warnings.warn(
+                f"self_similar prefilter: dup-key set exceeds "
+                f"{max_keys} keys (corpus is dup-dense); falling "
+                "back to the copartition plan",
+                stacklevel=3,
+            )
+            return None
+    from .sketch import build_bloom_sketch
+
+    n = dup_keys.count()
+    if n == 0:
+        return sc.broadcast(np.empty(0, dtype=np.int64))
+    max_bytes = int(
+        os.environ.get("SPARK_GRAFT_FP_BLOOM_MAX_BYTES", str(64 << 20))
+    )
+    return sc.broadcast(build_bloom_sketch(dup_keys, n, max_bytes=max_bytes))
+
+
 def self_similar(
     docs: DataFrame,
     cfg: ExactSubstrConfig,
@@ -282,6 +333,7 @@ def self_similar(
     copartition: bool | None = None,
     prefilter: bool | None = None,
     prefilter_max_keys: int | None = None,
+    prefilter_sketch: str | None = None,
 ) -> DataFrame:
     """documents -> duplicates(pos, cluster_id, cluster_size).
 
@@ -337,13 +389,16 @@ def self_similar(
 
     The dup-key set is collected driver-side (limit-guarded:
     ``prefilter_max_keys``, default 2^24 keys = 128 MB broadcast; env
-    SPARK_GRAFT_FP_PREFILTER_MAX_KEYS). If the corpus is SO dup-dense the
-    set exceeds the guard, self_similar warns and falls back to the
-    copartition plan — the regime where copartitioning is the right call
-    anyway (dup positions ~ all positions).
+    SPARK_GRAFT_FP_PREFILTER_MAX_KEYS). Above the guard the sketch
+    degrades to a bounded-size Bloom filter instead of switching off
+    (``prefilter_sketch`` / SPARK_GRAFT_FP_SKETCH, see
+    _prefilter_sketch_bc): false positives only add candidates the exact
+    post-shuffle stats filter discards, so recall stays exact at any
+    dup-key count.
 
     Env overrides for benches: SPARK_GRAFT_FP_PERSIST=0/1,
-    SPARK_GRAFT_FP_COPART=0/1, SPARK_GRAFT_FP_PREFILTER=0/1.
+    SPARK_GRAFT_FP_COPART=0/1, SPARK_GRAFT_FP_PREFILTER=0/1,
+    SPARK_GRAFT_FP_SKETCH=auto/set/bloom.
     """
     import os
 
@@ -374,20 +429,9 @@ def self_similar(
             .filter(F.col("c") >= min_count)
             .select("k")
         )
-        key_pdf = dup_keys.limit(prefilter_max_keys + 1).toPandas()
-        if len(key_pdf) <= prefilter_max_keys:
-            keys = np.sort(key_pdf["k"].to_numpy(np.int64))
-            dup_keys_bc = docs.sparkSession.sparkContext.broadcast(keys)
-        else:
-            import warnings
-
-            warnings.warn(
-                f"self_similar prefilter: dup-key set exceeds "
-                f"{prefilter_max_keys} keys (corpus is dup-dense); falling "
-                "back to the copartition plan",
-                stacklevel=2,
-            )
-            dup_keys_bc = None
+        dup_keys_bc = _prefilter_sketch_bc(
+            dup_keys, prefilter_max_keys, sketch_mode=prefilter_sketch
+        )
     else:
         dup_keys_bc = None
 

@@ -158,6 +158,7 @@ def across_dedup(
     copartition: bool = True,
     prefilter: bool | None = None,
     prefilter_max_keys: int | None = None,
+    prefilter_sketch: str | None = None,
 ) -> AcrossDedupResult:
     """Cross-corpus contamination pipeline (README.md:324-340:
     across-similar + collect + strike — the reference runs collect/finish
@@ -186,13 +187,12 @@ def across_dedup(
     survives on both sides (dups_b semi-joins against the PREFILTERED
     keys_a, but an A key dropped by the prefilter has h1 absent from B
     and so could never match a B window); h1 collisions only ADD big-side
-    candidates, which the exact (h1, h2) semi-join then discards. If the
-    small side's key set exceeds the guard, warns and falls back to the
-    copartitioned two-sided plan.
+    candidates, which the exact (h1, h2) semi-join then discards. Above
+    the broadcast guard the key set degrades to a bounded Bloom sketch
+    instead of switching off (prefilter_sketch / SPARK_GRAFT_FP_SKETCH,
+    suffix._prefilter_sketch_bc) — recall stays exact at any key count.
     """
     import os
-
-    import numpy as np
 
     from ..operators.suffix import (
         across_similar,
@@ -218,30 +218,21 @@ def across_dedup(
 
     bc_a = bc_b = None  # pass-2 map-side filters for fp_a / fp_b
     if prefilter:
+        from ..operators.suffix import _prefilter_sketch_bc
+
         small_is_b = total_b <= total_a
         key_docs, key_total = (db, total_b) if small_is_b else (da, total_a)
-        key_pdf = (
-            window_keys(key_docs, cfg.exact, key_total)
-            .distinct()
-            .limit(prefilter_max_keys + 1)
-            .toPandas()
+        keys_df = window_keys(key_docs, cfg.exact, key_total).distinct()
+        # same sketch policy as self_similar: exact set under the guard,
+        # Bloom above it (recall exact — FPs only add big-side candidates
+        # the exact (h1, h2) semi-join discards), set-mode for A/B
+        bc = _prefilter_sketch_bc(
+            keys_df, prefilter_max_keys, sketch_mode=prefilter_sketch
         )
-        if len(key_pdf) <= prefilter_max_keys:
-            keys = np.sort(key_pdf["k"].to_numpy(np.int64))
-            bc = docs_a.sparkSession.sparkContext.broadcast(keys)
-            if small_is_b:
-                bc_a = bc
-            else:
-                bc_b = bc
+        if small_is_b:
+            bc_a = bc
         else:
-            import warnings
-
-            warnings.warn(
-                f"across_dedup prefilter: the smaller corpus's key set "
-                f"exceeds {prefilter_max_keys} keys; falling back to the "
-                "copartition plan",
-                stacklevel=2,
-            )
+            bc_b = bc
 
     # each fingerprint frame feeds both the distinct-keys side and the
     # semi-join probe side — persist or the shard kernels run twice per

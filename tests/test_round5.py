@@ -87,7 +87,10 @@ def test_self_similar_prefilter_parity(spark, docs):
     assert pre == base
     spark.catalog.clearCache()
     with pytest.warns(UserWarning, match="dup-key"):
-        fb = self_similar(docs, SS_CFG, prefilter=True, prefilter_max_keys=1)
+        fb = self_similar(
+            docs, SS_CFG, prefilter=True, prefilter_max_keys=1,
+            prefilter_sketch="set",
+        )
     assert sorted(tuple(r) for r in fb.collect()) == base
     spark.catalog.clearCache()
 
@@ -641,7 +644,8 @@ def test_across_dedup_prefilter_parity(spark):
     spark.catalog.clearCache()
     with pytest.warns(UserWarning, match="key set"):
         fb = across_dedup(
-            docs_a, docs_b, cfg, prefilter=True, prefilter_max_keys=1
+            docs_a, docs_b, cfg, prefilter=True, prefilter_max_keys=1,
+            prefilter_sketch="set",
         )
         fb_key = _across_key(fb)
     assert fb_key == base
