@@ -292,6 +292,34 @@ def _q_ann_topk(spark, sf_dir):
     return cosine_topk(emb, queries, k=10).select("query_id", "rank", "neighbor_id")
 
 
+def _q_page_text_extract(spark, sf_dir):
+    """HTML->text extraction invariant (input_hint: 'byte-identical
+    extracted text per url'). A deterministic html payload is derived from
+    each doc's text exactly like the canonical synthesizer does (plus a
+    script element and a comment the extractor must drop), extracted with
+    the regex-baseline extractor, and compared byte-for-byte. The DuckDB
+    oracle derives the same payload and extracts with the SAME rule
+    constants (functions/html.py)."""
+    from deduplicate_text_datasets_spark.functions.html import extract_text
+
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><script>var x = 1 < 2;</script></head><body>"),
+            F.col("text"),
+            F.lit("<!-- crawler: c4 --></body></html>"),
+        ),
+        "UTF-8",
+    )
+    return raw.select(
+        "doc_id",
+        extract_text(html).alias("extracted"),
+        (extract_text(html) == F.col("text")).alias("byte_identical"),
+    )
+
+
 def _q_canonical_pages(spark, sf_dir):
     """Crawl-log canonicalization (input_hint web-pages shape): a
     deterministic crawl log is derived from the documents table — each doc
@@ -495,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "ann_topk": _q_ann_topk,
         "canonical_pages": _q_canonical_pages,
+        "page_text_extract": _q_page_text_extract,
         "neardup_clusters": _q_neardup_clusters,
         "minhash_signatures": _q_minhash_signatures,
         "simhash_pairs": _q_simhash_pairs,
@@ -527,6 +556,9 @@ def _sidecar(query: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from deduplicate_text_datasets_spark.functions.html import (
+        extract_text_sql as _extract_sql,
+    )
     from deduplicate_text_datasets_spark.functions.url import (
         normalize_url_sql as _norm_url_sql,
     )
@@ -775,6 +807,19 @@ SELECT {_norm_url_sql("url")} AS norm_url,
        MAX(ts_secs) AS latest_ts_secs,
        arg_max(doc_id, ts_secs) AS latest_doc_id
 FROM urls GROUP BY 1""",
+        # html derivation mirrored from _q_page_text_extract; extraction
+        # rules generated from functions/html.py constants
+        "page_text_extract": f"""
+WITH pages AS (
+  SELECT doc_id, text,
+         '<html><head><script>var x = 1 < 2;</script></head><body>'
+         || text || '<!-- crawler: c4 --></body></html>' AS html
+  FROM documents
+)
+SELECT doc_id,
+       {_extract_sql("html")} AS extracted,
+       {_extract_sql("html")} = text AS byte_identical
+FROM pages""",
         # NearDup flagship: exact-Jaccard edges (same integer threshold math
         # as verify_pairs) ∪ exact-dup edges -> recursive-CTE connected
         # components; LSH miss probability for a true J>=0.8 pair is ~5e-8

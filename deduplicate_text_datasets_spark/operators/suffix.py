@@ -28,6 +28,9 @@ overlap ownership rule (SURVEY.md §4.3).
 
 from __future__ import annotations
 
+import os
+from typing import Iterator
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -168,12 +171,31 @@ FINGERPRINT_SCHEMA = T.StructType(
     ]
 )
 
+# Kernel RETURN batching: classic applyInPandas serializes one Arrow batch
+# per group, so a production 64 MiB shard's fingerprint frame (~64Mi
+# positions x 24 B) forces a ~1.5 GiB direct-memory allocation in the JVM
+# receiver — measured OOM at the stress scale (netty cap ~6 GiB, 32
+# concurrent tasks). The position-emitting kernels therefore use the
+# Spark 4.1 ITERATOR form of applyInPandas and yield bounded slices:
+# 2^21 rows x 24 B ≈ 48 MiB per batch, constant in shard width.
+_EMIT_ROWS = int(os.environ.get("SPARK_GRAFT_FP_EMIT_ROWS", str(1 << 21)))
+
+
+def _emit_chunks(out: pd.DataFrame, rows: int | None = None):
+    rows = rows or _EMIT_ROWS
+    if len(out) <= rows:
+        yield out
+        return
+    for lo in range(0, len(out), rows):
+        yield out.iloc[lo : lo + rows]
+
 
 def window_fingerprints(
     docs: DataFrame,
     cfg: ExactSubstrConfig,
     total: int | None = None,
     dup_keys_bc=None,
+    emit_rows: int | None = None,
 ) -> DataFrame:
     """documents -> (h1, h2, pos) fingerprint frame (one row per corpus
     position — or per probable-dup position when ``dup_keys_bc`` is set).
@@ -188,12 +210,21 @@ def window_fingerprints(
     if total is None:
         total = corpus_total_bytes(docs)
     shards = assign_shards(docs, cfg.shard_bytes, cfg.overlap_bytes)
+
+    emit_rows = emit_rows or _EMIT_ROWS
+
+    def fp_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # iterator form: the shard group streams IN in Arrow-sized batches
+        # (the kernel needs the whole shard buffer, so concat) and the
+        # position frame streams OUT in bounded slices (see _EMIT_ROWS)
+        pdf = pd.concat(list(batches), ignore_index=True)
+        yield from _emit_chunks(
+            _fingerprint_kernel(pdf, cfg, total, dup_keys_bc), emit_rows
+        )
+
     return shards.select("shard_id", "doc_id", "byte_start", "text").groupBy(
         "shard_id"
-    ).applyInPandas(
-        lambda pdf: _fingerprint_kernel(pdf, cfg, total, dup_keys_bc),
-        FINGERPRINT_SCHEMA,
-    )
+    ).applyInPandas(fp_kernel, FINGERPRINT_SCHEMA)
 
 
 WINDOW_KEY_SCHEMA = T.StructType([T.StructField("k", T.LongType(), False)])
@@ -219,7 +250,10 @@ def _key_kernel(
 
 
 def window_keys(
-    docs: DataFrame, cfg: ExactSubstrConfig, total: int | None = None
+    docs: DataFrame,
+    cfg: ExactSubstrConfig,
+    total: int | None = None,
+    emit_rows: int | None = None,
 ) -> DataFrame:
     """documents -> (k) single-column window-key frame (prefilter pass 1)."""
     if "byte_start" not in docs.columns:
@@ -229,11 +263,16 @@ def window_keys(
     if total is None:
         total = corpus_total_bytes(docs)
     shards = assign_shards(docs, cfg.shard_bytes, cfg.overlap_bytes)
+
+    emit_rows = emit_rows or _EMIT_ROWS
+
+    def key_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(batches), ignore_index=True)
+        yield from _emit_chunks(_key_kernel(pdf, cfg, total), emit_rows)
+
     return shards.select("shard_id", "doc_id", "byte_start", "text").groupBy(
         "shard_id"
-    ).applyInPandas(
-        lambda pdf: _key_kernel(pdf, cfg, total), WINDOW_KEY_SCHEMA
-    )
+    ).applyInPandas(key_kernel, WINDOW_KEY_SCHEMA)
 
 
 def find_duplicates(fingerprints: DataFrame, cfg: ExactSubstrConfig) -> DataFrame:

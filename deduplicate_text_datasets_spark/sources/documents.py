@@ -20,6 +20,7 @@ the byte layout is derived lazily (see sources/corpus.py).
 
 from __future__ import annotations
 
+import functools
 import random
 import string
 from collections.abc import Iterator
@@ -218,6 +219,7 @@ def _shared_run(tag: str, j: int, n_words: int) -> list[str]:
     return [_VOCAB[rng.randrange(VOCAB_SIZE)] for _ in range(n_words)]
 
 
+@functools.lru_cache(maxsize=4096)
 def fixture_text(k: int, size_lo: int = 50, size_hi: int = 2000) -> str:
     """Deterministic text for doc index k with FIXTURES.md planted roles.
 

@@ -6,6 +6,9 @@ across its three plan modes:
                (round-4: one 24 B/position exchange total)
 * prefilter  — two-pass dup-key prefilter (round-5: pass-1 key exchange +
                24 B/position only for probable-dup positions)
+* bloom      — prefilter with the Bloom sketch FORCED (guard of 1 key):
+               the beyond-guard fallback's exchange cost — pass-2 bytes
+               grow only by the Bloom FP rate over the exact set
 
 Each leg runs in its own fresh process/session with the Spark UI enabled;
 total shuffle read/write bytes come from the UI REST API (exact task
@@ -94,6 +97,10 @@ kwargs = {{
     "plain": {{"copartition": False, "prefilter": False}},
     "copart": {{"copartition": True, "prefilter": False}},
     "prefilter": {{"prefilter": True}},
+    "bloom": {{
+        "prefilter": True, "prefilter_max_keys": 1,
+        "prefilter_sketch": "bloom",
+    }},
 }}[mode]
 w0, r0 = shuffle_totals()
 t0 = time.time()
@@ -134,10 +141,14 @@ def main() -> None:
     )
     nb = "--no-broadcast" in sys.argv
     distinct = "--distinct" in sys.argv
+    modes = MODES
+    for a in sys.argv[1:]:
+        if a.startswith("--modes="):
+            modes = tuple(a.split("=", 1)[1].split(","))
     results = []
     # interleave to ride out host contention episodes; keep best per mode
     for _round in range(2):
-        for mode in MODES:
+        for mode in modes:
             results.append(run_mode(mode, sf_dir, nb, distinct))
             print(json.dumps(results[-1]), flush=True)
     best: dict[str, dict] = {}
@@ -145,25 +156,32 @@ def main() -> None:
         k = r["mode"]
         if k not in best or r["wall_s"] < best[k]["wall_s"]:
             best[k] = r
-    rows = {m: best[m]["rows"] for m in MODES}
+    rows = {m: best[m]["rows"] for m in modes}
     assert len(set(rows.values())) == 1, f"output rows diverge: {rows}"
     summary = {
         "sf_dir": sf_dir,
         "no_broadcast": nb,
         "distinct": distinct,
-        **{m: best[m] for m in MODES},
-        "write_ratio_copart_vs_plain": round(
-            best["copart"]["shuffle_write_bytes"]
-            / max(1, best["plain"]["shuffle_write_bytes"]), 3
-        ),
-        "write_ratio_prefilter_vs_copart": round(
-            best["prefilter"]["shuffle_write_bytes"]
-            / max(1, best["copart"]["shuffle_write_bytes"]), 3
-        ),
-        "wall_ratio_prefilter_vs_copart": round(
-            best["prefilter"]["wall_s"] / max(1e-9, best["copart"]["wall_s"]), 3
-        ),
+        **{m: best[m] for m in modes},
     }
+
+    def ratio(num: str, den: str, key: str) -> float | None:
+        if num not in best or den not in best:
+            return None
+        return round(best[num][key] / max(1, best[den][key]), 3)
+
+    for label, (num, den) in {
+        "write_ratio_copart_vs_plain": ("copart", "plain"),
+        "write_ratio_prefilter_vs_copart": ("prefilter", "copart"),
+        "write_ratio_bloom_vs_prefilter": ("bloom", "prefilter"),
+    }.items():
+        r = ratio(num, den, "shuffle_write_bytes")
+        if r is not None:
+            summary[label] = r
+    if "prefilter" in best and "copart" in best:
+        summary["wall_ratio_prefilter_vs_copart"] = round(
+            best["prefilter"]["wall_s"] / max(1e-9, best["copart"]["wall_s"]), 3
+        )
     print("FINAL " + json.dumps(summary))
 
 

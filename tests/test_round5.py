@@ -680,3 +680,40 @@ def test_across_prefilter_big_side_ships_only_candidates(spark):
     assert 0 < n_pre < fp_a_full.count()
     fp_a_full.unpersist()
     spark.catalog.clearCache()
+
+
+# --- chunked kernel emit (stress-scale OOM fix) ------------------------------
+
+
+def test_fp_kernel_chunked_emit_parity(spark, docs):
+    """The iterator-form kernels must produce the identical frame at any
+    emit-batch size (the classic single-batch-per-group path allocated
+    ~1.5 GiB of JVM direct memory per 64 MiB shard — measured OOM in the
+    stress run). Forcing 64-row slices exercises many batches per shard."""
+    from deduplicate_text_datasets_spark.operators.suffix import (
+        _emit_chunks,
+        window_fingerprints,
+        window_keys,
+    )
+
+    base = sorted(
+        tuple(r) for r in window_fingerprints(docs, SS_CFG).collect()
+    )
+    tiny = sorted(
+        tuple(r)
+        for r in window_fingerprints(docs, SS_CFG, emit_rows=64).collect()
+    )
+    assert tiny == base and len(base) > 64
+    kb = sorted(r["k"] for r in window_keys(docs, SS_CFG).collect())
+    kt = sorted(
+        r["k"] for r in window_keys(docs, SS_CFG, emit_rows=64).collect()
+    )
+    assert kt == kb
+    spark.catalog.clearCache()
+
+    import pandas as pd
+
+    pdf = pd.DataFrame({"x": range(10)})
+    chunks = list(_emit_chunks(pdf, 3))
+    assert [len(c) for c in chunks] == [3, 3, 3, 1]
+    assert pd.concat(chunks).equals(pdf)
