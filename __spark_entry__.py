@@ -320,6 +320,38 @@ def _q_page_text_extract(spark, sf_dir):
     )
 
 
+def _q_clean_corpus(spark, sf_dir):
+    """C4-style cleaning composition — the end-to-end shape of a training-
+    data prep run (README.md:10 context: C4 built from Common Crawl by
+    lang-ID + quality heuristics + dedup): language filter AND quality
+    threshold AND near-dup cluster keep, as one declarative plan. Each
+    predicate is an existing gate operator; the oracle composes the SAME
+    three oracle SQLs as CTEs, so the composition itself is what this
+    query verifies. Flags are emitted per doc (not just survivors) so the
+    gate checks every branch of the policy."""
+    from deduplicate_text_datasets_spark.operators.textstats import lang_id
+
+    docs = _docs(spark, sf_dir)
+    lang = lang_id(docs).select("doc_id", "lang_pred")
+    quality = _q_quality_scores(spark, sf_dir)
+    keep = _q_neardup_clusters(spark, sf_dir).select("doc_id", "keep")
+    lang_ok = F.col("lang_pred") == "en"
+    quality_ok = F.col("quality_ppm") >= 750000
+    return (
+        docs.select("doc_id")
+        .join(lang, "doc_id")
+        .join(quality, "doc_id")
+        .join(keep, "doc_id")
+        .select(
+            "doc_id",
+            lang_ok.alias("lang_ok"),
+            quality_ok.alias("quality_ok"),
+            F.col("keep").alias("dedup_keep"),
+            (lang_ok & quality_ok & F.col("keep")).alias("kept"),
+        )
+    )
+
+
 def _q_canonical_pages(spark, sf_dir):
     """Crawl-log canonicalization (input_hint web-pages shape): a
     deterministic crawl log is derived from the documents table — each doc
@@ -524,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "canonical_pages": _q_canonical_pages,
         "page_text_extract": _q_page_text_extract,
+        "clean_corpus": _q_clean_corpus,
         "neardup_clusters": _q_neardup_clusters,
         "minhash_signatures": _q_minhash_signatures,
         "simhash_pairs": _q_simhash_pairs,
@@ -628,7 +661,7 @@ WITH corpus AS (
   SELECT pos, c, m FROM sized WHERE c >= 2
 )"""
 
-    return {
+    sqls = {
         "global_offsets": """
 SELECT doc_id,
   CAST(COALESCE(SUM(strlen(text)+6) OVER (ORDER BY doc_id
@@ -976,3 +1009,16 @@ FROM '{_sidecar("tokenized_self_similar")}'""",
 SELECT doc_id, sha, n_bytes
 FROM '{_sidecar("tokenized_deduped_docs")}'""",
     }
+    # clean_corpus composes the SAME three oracle SQLs as CTEs — the
+    # composition, not new semantics, is what the gate verifies here
+    sqls["clean_corpus"] = f"""
+WITH L AS ({sqls["lang_id"]}), Q AS ({sqls["quality_scores"]}),
+     N AS ({sqls["neardup_clusters"]})
+SELECT d.doc_id,
+       L.lang_pred = 'en' AS lang_ok,
+       Q.quality_ppm >= 750000 AS quality_ok,
+       N.keep AS dedup_keep,
+       (L.lang_pred = 'en' AND Q.quality_ppm >= 750000 AND N.keep) AS kept
+FROM documents d
+JOIN L USING (doc_id) JOIN Q USING (doc_id) JOIN N USING (doc_id)"""
+    return sqls
