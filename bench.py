@@ -495,6 +495,15 @@ def run_stress(n_docs: int | None = None) -> dict:
     from deduplicate_text_datasets_spark.config import PRODUCTION_SHARD_BYTES
 
     n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_STRESS_DOCS", "80000"))
+    # The stress corpus is ~10x the headline fixture and the exactsubstr
+    # sort spills are execution-memory-bound: the headline 6g pre-touched
+    # heap OOMs here (UNABLE_TO_ACQUIRE_MEMORY in UnsafeExternalSorter at
+    # 32 concurrent sort tasks). Size the stress heap like a production
+    # executor instead — 32g default (host has 125 GiB), still pre-touched
+    # so heap growth never lands inside a timed section.
+    os.environ["SPARK_GRAFT_PRETOUCH"] = os.environ.get(
+        "SPARK_GRAFT_STRESS_MEM", "32g"
+    )
     spark = get_spark("bench-stress", extra={"spark.ui.enabled": "true"})
     # this session's OWN UI endpoint + app id — hardcoding :4040 would read
     # another app's metrics when the port is taken (round-4 ADVICE)
@@ -560,14 +569,21 @@ def run_stress(n_docs: int | None = None) -> dict:
     )
 
     mh = MinHashConfig()
-    n_oversized = oversized_buckets(
-        lsh_buckets(minhash_signatures(doc_shingles(docs, mh), mh), mh), mh
-    ).count()
+    skew = {
+        r["action"]: r["n"]
+        for r in oversized_buckets(
+            lsh_buckets(minhash_signatures(doc_shingles(docs, mh), mh), mh), mh
+        )
+        .groupBy("action")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
     out["neardup"] = {
         "wall_sec": round(wall, 2),
         "docs_per_sec": round(n / wall, 1),
         "rows_out": n_clusters,
-        "oversized_buckets_dropped": n_oversized,
+        "oversized_buckets_salted": skew.get("salted", 0),
+        "oversized_buckets_dropped": skew.get("dropped", 0),
         "shuffle_write_bytes": w1 - w0,
         "peak_stage_shuffle_bytes": max(
             (v - s0.get(k, 0) for k, v in s1.items()), default=0
@@ -623,6 +639,16 @@ def main() -> None:
     }
     if pre_gate is not None:
         result["host_control_gate"] = pre_gate
+    # Fold in the most recent recorded --stress run (opt-in, long — see
+    # run_stress) so the per-round artifact carries the scale-stress
+    # evidence alongside the headline walls.
+    stress_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "stress_out.json")
+    try:
+        with open(stress_path) as f:
+            result["stress_recorded"] = json.load(f)["stress"]
+    except (OSError, KeyError, json.JSONDecodeError):
+        pass
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
         try:
             result["scaling"] = run_scaling(SF_DIR)
