@@ -84,11 +84,26 @@ class MinHashConfig:
     bands: int = 32
     rows_per_band: int = 4
     jaccard_threshold: float = 0.8
-    # Buckets larger than this are dropped with a logged counter (skew guard
-    # for boilerplate-heavy webtext; analogue of frequency_threshold
-    # main.rs:914). Pairs inside a dropped bucket are still recoverable from
-    # other bands / the exact-dup path.
+    # Skew policy for hot LSH buckets (boilerplate-heavy webtext), two
+    # thresholds (north_rule: "explicit salting of skewed LSH buckets"):
+    #   size <= max_bucket_size          all-pairs in one reducer (fast path)
+    #   size <= salted_bucket_max        EXACT all-pairs via a grid-salted
+    #                                    self-join: k = ceil(size/cap) salt
+    #                                    groups, each pair generated exactly
+    #                                    once in one of k(k+1)/2 cells, so
+    #                                    per-task pair work stays at the
+    #                                    fast path's cap**2 bound while the
+    #                                    recall-preserving ceiling rises 10x
+    #   size >  salted_bucket_max        dropped with a logged counter
+    #                                    (analogue of frequency_threshold
+    #                                    main.rs:914) — total pair count is
+    #                                    quadratic-in-size no matter how it
+    #                                    is distributed, so truly degenerate
+    #                                    buckets must cap somewhere; members
+    #                                    still pair via other bands / the
+    #                                    exact-dup path.
     max_bucket_size: int = 5000
+    salted_bucket_max: int = 50_000
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perm:

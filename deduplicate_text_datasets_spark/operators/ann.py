@@ -229,6 +229,7 @@ def cosine_pairs(
     vec_col: str = "embedding",
     max_bucket_size: int = 100_000,
     copartition: bool = True,
+    salted_bucket_max: int = 1_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b, cos_mil) with cosine
     >= threshold; cos_mil = floor(cosine * 1000) (integer — keeps the
@@ -272,13 +273,29 @@ def cosine_pairs(
             ),
             "bucket",
         )
-        pairs = (
+        plain = (
             sized.select("bucket", F.col("vec_id").alias("a"))
             .join(sized.select("bucket", F.col("vec_id").alias("b")), "bucket")
             .filter(F.col("a") < F.col("b"))
             .select("a", "b")
-            .distinct()
         )
+        # hot hyperplane buckets (near-identical embedding farms) pair via
+        # the exact grid-salted self-join instead of being dropped — pairs
+        # are id-only here (unit vectors join back below), so replication
+        # cost is k+1 small rows per member (operators/salted_join.py)
+        from .salted_join import grid_salted_self_pairs
+
+        hot = b.join(
+            sizes.filter(
+                (F.col("bsize") > max_bucket_size)
+                & (F.col("bsize") <= salted_bucket_max)
+            ),
+            "bucket",
+        )
+        salted = grid_salted_self_pairs(
+            hot, ["bucket"], max_bucket_size, id_col="vec_id"
+        )
+        pairs = plain.unionByName(salted).distinct()
     else:
         raise ValueError(f"unknown method {method!r} (want 'lsh' or 'exact')")
     ua = u.select(F.col("vec_id").alias("a"), F.col("unit").alias("ua"))

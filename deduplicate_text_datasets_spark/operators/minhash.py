@@ -12,10 +12,13 @@ Plan shape (all DataFrame; one vectorized Arrow kernel for signatures):
        ── groupBy bucket (size-capped)    ──► candidate pairs (self-join)
        ── exact Jaccard on shingle sets   ──► edges(a, b, jaccard >= τ)
 
-Skew: webtext boilerplate creates giant buckets; buckets above
-``max_bucket_size`` are dropped with a logged count (the analogue of
-frequency_threshold, main.rs:914) — their members still pair via other
-bands or the exact-dup path. AQE skew-join splitting handles the rest.
+Skew: webtext boilerplate creates giant buckets. Buckets above
+``max_bucket_size`` pair through the EXACT grid-salted self-join
+(``_salted_pairs`` — per-task pair work stays bounded by cap^2, recall
+unchanged); only buckets beyond ``salted_bucket_max`` are dropped with a
+logged count (the analogue of frequency_threshold, main.rs:914) — their
+members still pair via other bands or the exact-dup path. AQE skew-join
+splitting handles the rest.
 """
 
 from __future__ import annotations
@@ -146,14 +149,18 @@ def candidate_pairs(
 ) -> DataFrame:
     """Distinct (a, b) candidate doc pairs from shared LSH buckets.
 
-    Bucket-size cap: the per-bucket pair blow-up is quadratic, so buckets
-    above max_bucket_size are excluded (count observable via
-    ``oversized_buckets``). Sizing is a groupBy (map-side partial agg — a
-    boilerplate bucket with 10^8 members contributes one row per mapper,
-    not 10^8 rows to one reducer) joined back onto the bucket frame; the
-    filtered size frame is small enough for AQE to broadcast, and if not,
-    AQE skew-join splitting applies — neither holds for a WindowExec
-    partition, which is why this is not a count-over-window.
+    Bucket-size policy (north_rule: explicit salting of skewed buckets):
+    buckets up to ``max_bucket_size`` self-join in one reducer task;
+    buckets up to ``salted_bucket_max`` go through the EXACT grid-salted
+    self-join (``_salted_pairs``) so the quadratic pair work is spread
+    over ~k^2/2 tasks instead of one; only buckets beyond that are
+    excluded (count observable via ``oversized_buckets``). Sizing is a
+    groupBy (map-side partial agg — a boilerplate bucket with 10^8 members
+    contributes one row per mapper, not 10^8 rows to one reducer) joined
+    back onto the bucket frame; the filtered size frame is small enough
+    for AQE to broadcast, and if not, AQE skew-join splitting applies —
+    neither holds for a WindowExec partition, which is why this is not a
+    count-over-window.
     """
     from ..plans.caching import scoped_persist
 
@@ -178,20 +185,46 @@ def candidate_pairs(
     )
     left = sized.select("band", "bucket", F.col("doc_id").alias("a"))
     right = sized.select("band", "bucket", F.col("doc_id").alias("b"))
-    return (
+    pairs = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
-        .distinct()
     )
+    hot = buckets.join(
+        sizes.filter(
+            (F.col("bsize") > cfg.max_bucket_size)
+            & (F.col("bsize") <= cfg.salted_bucket_max)
+        ),
+        ["band", "bucket"],
+    )
+    return pairs.unionByName(_salted_pairs(hot, cfg)).distinct()
+
+
+def _salted_pairs(hot: DataFrame, cfg: MinHashConfig) -> DataFrame:
+    """EXACT all-pairs inside oversized buckets via grid salting — see
+    operators/salted_join.py for the decomposition and its exactness
+    argument. Per-task pair work stays bounded by ~max_bucket_size^2
+    regardless of bucket size; recall is unchanged (the pair set is
+    bit-identical to an uncapped plain self-join, pinned by test)."""
+    from .salted_join import grid_salted_self_pairs
+
+    return grid_salted_self_pairs(hot, ["band", "bucket"], cfg.max_bucket_size)
 
 
 def oversized_buckets(buckets: DataFrame, cfg: MinHashConfig) -> DataFrame:
-    """Observability for the skew guard: dropped (band, bucket, size)."""
+    """Observability for the skew policy: (band, bucket, size, action)
+    for every bucket beyond the one-reducer fast path — ``action`` is
+    'salted' (exact pairs via the grid-salted join) or 'dropped'."""
     return (
         buckets.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("size"))
         .filter(F.col("size") > cfg.max_bucket_size)
+        .withColumn(
+            "action",
+            F.when(
+                F.col("size") <= cfg.salted_bucket_max, F.lit("salted")
+            ).otherwise(F.lit("dropped")),
+        )
     )
 
 

@@ -26,12 +26,20 @@ def jaccard_pairs(
     text_col: str = "text",
     max_shingle_df: int = 10000,
     copartition: bool = True,
+    salted_shingle_df: int = 100_000,
 ) -> DataFrame:
     """All doc pairs with shingle-Jaccard >= threshold_num/threshold_den.
 
-    max_shingle_df: shingles occurring in more docs than this are skipped in
-    the inverted index (stopword-shingle skew guard; identical policy to the
-    LSH bucket cap). Output: (a, b, inter, size_a, size_b) — integers only.
+    Hot-shingle policy: postings for shingles with df <= max_shingle_df
+    self-join in one reducer task per shingle; shingles up to
+    ``salted_shingle_df`` go through the EXACT grid-salted self-join
+    (operators/salted_join.py) — this matters for correctness, not just
+    skew: each shared shingle contributes 1 to a pair's intersection
+    count, so a DROPPED hot shingle undercounts Jaccard and can lose true
+    pairs, while the salted join keeps counts exact. Only shingles beyond
+    ``salted_shingle_df`` are skipped (stopword-shingle guard; quadratic
+    pair fan-out must cap somewhere). Output: (a, b, inter, size_a,
+    size_b) — integers only.
     """
     from ..plans.caching import scoped_persist
 
@@ -43,23 +51,37 @@ def jaccard_pairs(
     # WindowExec partition). df >= 2 prunes every unique shingle — the
     # overwhelming majority of webtext shingles — before the self-join;
     # df <= cap is the stopword-shingle skew guard.
-    dfc = (
-        inv.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= max_shingle_df))
+    dfc_all = scoped_persist(
+        inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    )
+    dfc = dfc_all.filter(
+        (F.col("df") >= 2) & (F.col("df") <= max_shingle_df)
     )
     # pruned postings feed BOTH sides of the shingle-key self-join:
     # co-partition on g before caching so the join co-locates without
     # re-exchanging each side (suffix.self_similar copartition design)
-    inv = inv.join(dfc.select("g"), "g")
+    kept = inv.join(dfc.select("g"), "g")
     if copartition:
-        inv = inv.repartition("g")
-    inv = scoped_persist(inv)
-    a = inv.select(F.col("g").alias("g"), F.col("doc_id").alias("a"))
-    b = inv.select(F.col("g").alias("g"), F.col("doc_id").alias("b"))
+        kept = kept.repartition("g")
+    kept = scoped_persist(kept)
+    a = kept.select(F.col("g").alias("g"), F.col("doc_id").alias("a"))
+    b = kept.select(F.col("g").alias("g"), F.col("doc_id").alias("b"))
+    plain = a.join(b, "g").filter(F.col("a") < F.col("b")).select("a", "b")
+    # hot shingles: exact grid-salted self-join so their postings still
+    # contribute 1 per shared shingle to the intersection counts (see
+    # docstring — dropping them would undercount Jaccard)
+    from .salted_join import grid_salted_self_pairs
+
+    hot = inv.join(
+        dfc_all.filter(
+            (F.col("df") > max_shingle_df)
+            & (F.col("df") <= salted_shingle_df)
+        ).select("g", F.col("df").alias("bsize")),
+        "g",
+    )
+    salted = grid_salted_self_pairs(hot, ["g"], max_shingle_df)
     inter = (
-        a.join(b, "g")
-        .filter(F.col("a") < F.col("b"))
+        plain.unionByName(salted)
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

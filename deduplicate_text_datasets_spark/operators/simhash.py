@@ -89,10 +89,14 @@ def simhash_candidates(
     cfg: SimHashConfig,
     max_bucket_size: int = 5000,
     copartition: bool = True,
+    salted_bucket_max: int = 50_000,
 ) -> DataFrame:
     """Candidate pairs agreeing on >= 1 of the k+1 blocks (complete for
-    Hamming distance <= k by pigeonhole). Oversized buckets are dropped
-    (skew guard, same policy as minhash.candidate_pairs).
+    Hamming distance <= k by pigeonhole). Hot (block, value) buckets up to
+    ``salted_bucket_max`` pair through the exact grid-salted self-join
+    (operators/salted_join.py — same policy as minhash.candidate_pairs,
+    fingerprints riding as payload); only buckets beyond that are dropped
+    (skew guard).
 
     Bucket sizing is a groupBy (map-side partial agg) joined back onto a
     persisted exploded-block frame — NOT a count-over-window: boilerplate
@@ -141,12 +145,29 @@ def simhash_candidates(
     right = sized.select(
         "block", "value", F.col("doc_id").alias("b"), F.col("fingerprint").alias("fb")
     )
-    return (
+    plain = (
         left.join(right, ["block", "value"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", "fa", "fb")
-        .distinct()
     )
+    from .salted_join import grid_salted_self_pairs
+
+    hot = exploded.join(
+        sizes.filter(
+            (F.col("bsize") > max_bucket_size)
+            & (F.col("bsize") <= salted_bucket_max)
+        ),
+        ["block", "value"],
+    )
+    salted = grid_salted_self_pairs(
+        hot, ["block", "value"], max_bucket_size, payload=("fingerprint",)
+    ).select(
+        "a",
+        "b",
+        F.col("fingerprint_a").alias("fa"),
+        F.col("fingerprint_b").alias("fb"),
+    )
+    return plain.unionByName(salted).distinct()
 
 
 def simhash_pairs(

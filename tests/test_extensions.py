@@ -199,3 +199,23 @@ def test_exact_media_duplicates(spark, media):
     got = {r["doc_id"]: r["group_id"] for r in exact_media_duplicates(media).collect()}
     assert got[0] == got[1] == 0
     assert got[2] == 2 and got[3] == 3
+
+
+def test_cosine_pairs_salted_buckets_parity(spark, emb):
+    """Forcing every hyperplane bucket through the grid-salted self-join
+    (cap=2) must reproduce the plain LSH path's pairs bit-for-bit —
+    salting re-distributes the bucket self-join, never changes it."""
+    df, _ = emb
+    kw = dict(dim=16, threshold=0.6, method="lsh", bits=4,
+              target_recall=0.99999)
+    plain = {
+        (r["a"], r["b"], r["cos_mil"])
+        for r in cosine_pairs(df, **kw).collect()
+    }
+    salted = {
+        (r["a"], r["b"], r["cos_mil"])
+        for r in cosine_pairs(
+            df, **kw, max_bucket_size=2, salted_bucket_max=10**6
+        ).collect()
+    }
+    assert len(plain) > 0 and salted == plain
