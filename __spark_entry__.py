@@ -243,6 +243,25 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
     ).select("a", "b", "inter", "size_a", "size_b")
 
 
+def _q_neardup_across_pairs(spark, sf_dir):
+    """Doc-level cross-corpus contamination (train-vs-eval shape): even
+    doc_ids play the training corpus, odd the eval set — the same split
+    the across_similar_positions gate uses for the substring level.
+    Engine path: MinHash/LSH buckets intersected ACROSS the corpora +
+    exact-Jaccard verify (minhash.near_duplicate_edges_across); oracle is
+    the exact bipartite shingle join."""
+    from deduplicate_text_datasets_spark.operators.minhash import (
+        near_duplicate_edges_across,
+    )
+
+    docs = _docs(spark, sf_dir)
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    return near_duplicate_edges_across(a, b, MH_CFG).select(
+        "a", "b", "inter", F.col("union").alias("usize")
+    )
+
+
 def _q_doc_stats(spark, sf_dir):
     from deduplicate_text_datasets_spark.functions.text import tokens
     from deduplicate_text_datasets_spark.operators.textstats import substr_count
@@ -550,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_coalesce": _q_interval_coalesce,
         "interval_join_docs": _q_interval_join_docs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "neardup_across_pairs": _q_neardup_across_pairs,
         "doc_stats": _q_doc_stats,
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
@@ -755,6 +775,31 @@ FROM pairs
 JOIN (SELECT doc_id, len(s) AS ns FROM sh) sa ON sa.doc_id = a
 JOIN (SELECT doc_id, len(s) AS ns FROM sh) sb ON sb.doc_id = b
 WHERE 20 * inter >= 1 * (sa.ns + sb.ns - inter)""",
+        # doc-level cross-corpus contamination: even docs = train corpus,
+        # odd = eval set; exact bipartite shingle join at the engine's
+        # jaccard_threshold
+        "neardup_across_pairs": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 5
+      THEN [array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w) - 3)]
+      ELSE [array_to_string(w, ' ')] END) AS s
+  FROM toks WHERE len(w) > 0
+), ia AS (
+  SELECT doc_id, UNNEST(s) AS g FROM sh WHERE doc_id % 2 = 0
+), ib AS (
+  SELECT doc_id, UNNEST(s) AS g FROM sh WHERE doc_id % 2 = 1
+), pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS INT) AS inter
+  FROM ia x JOIN ib y ON x.g = y.g
+  GROUP BY 1, 2
+)
+SELECT a, b, inter, CAST(sa.ns + sb.ns - inter AS INT) AS usize
+FROM pairs
+JOIN (SELECT doc_id, len(s) AS ns FROM sh) sa ON sa.doc_id = a
+JOIN (SELECT doc_id, len(s) AS ns FROM sh) sb ON sb.doc_id = b
+WHERE {jden} * inter >= {jnum} * (sa.ns + sb.ns - inter)""",
         "doc_stats": f"""
 SELECT doc_id,
   CAST(strlen(text) AS BIGINT) AS n_bytes,

@@ -275,6 +275,56 @@ def verify_pairs(
     return verify_pairs_across(pairs, shingled, shingled, cfg)
 
 
+def candidate_pairs_across(
+    buckets_a: DataFrame,
+    buckets_b: DataFrame,
+    cfg: MinHashConfig,
+    copartition: bool = True,
+) -> DataFrame:
+    """Distinct (a, b) candidate pairs ACROSS two corpora from shared LSH
+    buckets — the doc-level analogue of the reference's across-similar
+    substring runs (main.rs:962-1158): corpus-A ids never pair with each
+    other, only with corpus-B ids (train-vs-eval contamination shape).
+
+    Only buckets present in BOTH corpora matter (inner join of the two
+    size frames). Skew policy mirrors ``candidate_pairs``: buckets whose
+    sides both fit ``max_bucket_size`` cross-join in one reducer task;
+    buckets up to ``salted_bucket_max`` per side go through the exact
+    bipartite block grid (salted_join.grid_salted_cross_pairs); larger
+    ones are dropped (observable via ``oversized_buckets`` per side).
+    """
+    from ..plans.caching import scoped_persist
+    from .salted_join import grid_salted_cross_pairs
+
+    if copartition:
+        buckets_a = buckets_a.repartition("band", "bucket")
+        buckets_b = buckets_b.repartition("band", "bucket")
+    buckets_a = scoped_persist(buckets_a)
+    buckets_b = scoped_persist(buckets_b)
+    na = buckets_a.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("na"))
+    nb = buckets_b.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("nb"))
+    joint = na.join(nb, ["band", "bucket"])
+    cap, smax = cfg.max_bucket_size, cfg.salted_bucket_max
+    plain_keys = joint.filter((F.col("na") <= cap) & (F.col("nb") <= cap))
+    pa = buckets_a.join(plain_keys.select("band", "bucket"), ["band", "bucket"])
+    pb = buckets_b.join(plain_keys.select("band", "bucket"), ["band", "bucket"])
+    plain = (
+        pa.select("band", "bucket", F.col("doc_id").alias("a"))
+        .join(pb.select("band", "bucket", F.col("doc_id").alias("b")),
+              ["band", "bucket"])
+        .select("a", "b")
+    )
+    hot_keys = joint.filter(
+        ((F.col("na") > cap) | (F.col("nb") > cap))
+        & (F.col("na") <= smax)
+        & (F.col("nb") <= smax)
+    ).select("band", "bucket", "na", "nb")
+    ha = buckets_a.join(hot_keys, ["band", "bucket"])
+    hb = buckets_b.join(hot_keys, ["band", "bucket"])
+    salted = grid_salted_cross_pairs(ha, hb, ["band", "bucket"], cap)
+    return plain.unionByName(salted).distinct()
+
+
 def near_duplicate_edges(
     docs: DataFrame,
     cfg: MinHashConfig,
@@ -295,3 +345,34 @@ def near_duplicate_edges(
     sigs = minhash_signatures(shingled, cfg)
     pairs = candidate_pairs(lsh_buckets(sigs, cfg), cfg, copartition)
     return verify_pairs(pairs, shingled, cfg)
+
+
+def near_duplicate_edges_across(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    cfg: MinHashConfig,
+    text_col: str = "text",
+    copartition: bool = True,
+) -> DataFrame:
+    """Verified near-duplicate pairs ACROSS two corpora:
+    (a from docs_a, b from docs_b, inter, union, jaccard) with exact
+    shingle-Jaccard >= cfg.jaccard_threshold — the doc-level
+    train-vs-eval contamination check (the reference runs its
+    across-similar mode for exactly this, wiki40b-vs-C4; main.rs:962).
+
+    The two corpora may use overlapping doc_id spaces: side ``a`` ids
+    resolve against docs_a only and ``b`` against docs_b
+    (verify_pairs_across). Candidate generation touches only LSH buckets
+    present in BOTH corpora, so the dominant cost scales with the bucket
+    OVERLAP (the eval set's footprint), not the big side's size — the
+    same asymmetry argument as across_dedup's key prefilter
+    (BASELINE.md round-5 section).
+    """
+    from ..plans.caching import scoped_persist
+
+    sha = scoped_persist(doc_shingles(docs_a, cfg, text_col))
+    shb = scoped_persist(doc_shingles(docs_b, cfg, text_col))
+    ba = lsh_buckets(minhash_signatures(sha, cfg), cfg)
+    bb = lsh_buckets(minhash_signatures(shb, cfg), cfg)
+    pairs = candidate_pairs_across(ba, bb, cfg, copartition)
+    return verify_pairs_across(pairs, sha, shb, cfg)

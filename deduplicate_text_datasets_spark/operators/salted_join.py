@@ -87,3 +87,50 @@ def grid_salted_self_pairs(
         cols.append(F.when(fwd, pa).otherwise(pb).alias(f"{p}_a"))
         cols.append(F.when(fwd, pb).otherwise(pa).alias(f"{p}_b"))
     return j.select(*cols)
+
+
+def grid_salted_cross_pairs(
+    hot_a: DataFrame,
+    hot_b: DataFrame,
+    key_cols: Sequence[str],
+    cap: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact bipartite all-pairs (A x B) inside hot buckets — the
+    across-corpus analogue of :func:`grid_salted_self_pairs` (no diagonal,
+    so the decomposition is a plain ka x kb block grid).
+
+    Both inputs carry the JOINT bucket sizes ``na``/``nb`` (rows of the
+    same bucket agree on them). A-members get salt group ga in [0, ka),
+    ka = ceil(na/cap), and replicate once per B-block; symmetrically for
+    B. Pair (a, b) is generated exactly once, in cell (ga, gb); one
+    reducer task handles at most ~cap^2 pairs. Output: (a, b).
+    """
+    keys = list(key_cols)
+    ga = hot_a.withColumn(
+        "_ka", F.ceil(F.col("na") / F.lit(cap)).cast("int")
+    ).withColumn(
+        "_kb", F.ceil(F.col("nb") / F.lit(cap)).cast("int")
+    )
+    gb = hot_b.withColumn(
+        "_ka", F.ceil(F.col("na") / F.lit(cap)).cast("int")
+    ).withColumn(
+        "_kb", F.ceil(F.col("nb") / F.lit(cap)).cast("int")
+    )
+    lhs = ga.select(
+        *keys,
+        F.pmod(F.xxhash64(id_col, F.lit(SALT_SEED)), F.col("_ka"))
+        .cast("int")
+        .alias("_ci"),
+        F.explode(F.sequence(F.lit(0), F.col("_kb") - F.lit(1))).alias("_cj"),
+        F.col(id_col).alias("a"),
+    )
+    rhs = gb.select(
+        *keys,
+        F.explode(F.sequence(F.lit(0), F.col("_ka") - F.lit(1))).alias("_ci"),
+        F.pmod(F.xxhash64(id_col, F.lit(SALT_SEED)), F.col("_kb"))
+        .cast("int")
+        .alias("_cj"),
+        F.col(id_col).alias("b"),
+    )
+    return lhs.join(rhs, keys + ["_ci", "_cj"]).select("a", "b")

@@ -921,3 +921,53 @@ def test_ngram_salted_hot_shingles_keep_counts_exact(spark):
     dropped = rows(max_shingle_df=2, salted_shingle_df=2)
     assert len(full) > 0 and salted == full
     assert dropped != full  # the old drop policy undercounts here
+
+
+def test_neardup_across_matches_bipartite_truth(spark):
+    """Cross-corpus near-dup pairs (even=train, odd=eval) must equal the
+    exact all-pairs truth restricted to cross-parity pairs, contain no
+    same-side pair, and be invariant under forcing the bipartite salted
+    grid (cap=2)."""
+    from deduplicate_text_datasets_spark.config import MinHashConfig
+    from deduplicate_text_datasets_spark.operators.minhash import (
+        near_duplicate_edges_across,
+    )
+    from deduplicate_text_datasets_spark.operators.ngram import jaccard_pairs
+    from deduplicate_text_datasets_spark.plans.caching import cache_scope
+    from deduplicate_text_datasets_spark.sources.documents import (
+        DOCUMENTS_SCHEMA,
+        synth_documents_pandas,
+    )
+
+    docs = spark.createDataFrame(
+        synth_documents_pandas(80, size_lo=40, size_hi=160),
+        schema=DOCUMENTS_SCHEMA,
+    )
+    docs.cache().count()
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    cfg = MinHashConfig()
+    with cache_scope():
+        truth_cross = {
+            (r["a"], r["b"]) if r["a"] % 2 == 0 else (r["b"], r["a"])
+            for r in jaccard_pairs(
+                docs, cfg, max_shingle_df=2**31
+            ).collect()
+            if r["a"] % 2 != r["b"] % 2
+        }
+    with cache_scope():
+        got = {
+            (r["a"], r["b"])
+            for r in near_duplicate_edges_across(a, b, cfg).collect()
+        }
+    assert len(truth_cross) > 0 and got == truth_cross
+    assert all(x % 2 == 0 and y % 2 == 1 for x, y in got)
+    with cache_scope():
+        salted = {
+            (r["a"], r["b"])
+            for r in near_duplicate_edges_across(
+                a, b, MinHashConfig(max_bucket_size=2, salted_bucket_max=10**6)
+            ).collect()
+        }
+    assert salted == got
+    docs.unpersist()
