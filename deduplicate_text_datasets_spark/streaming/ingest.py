@@ -1,5 +1,5 @@
 """Incremental ingest: dedup new crawl snapshots against the existing
-corpus with Structured Streaming.
+corpus with Structured Streaming — and fold the survivors back in.
 
 The reference is strictly batch; its cross-corpus operator
 (cmd_across_similar, main.rs:962-1158) is exactly the primitive an
@@ -8,15 +8,28 @@ the OLD corpus". Here: a file-source stream of new document parquet,
 processed per micro-batch with foreachBatch; each batch runs
 
   new docs ──► exact-dup semi-join vs indexed corpus fingerprints
-          ──► MinHash LSH bucket join vs indexed signatures
+          ──► skew-guarded MinHash LSH bucket probe vs indexed buckets
+              (hot buckets via the bipartite salted grid, never one task)
+          ──► intra-batch near-dup pass (first-seen-wins inside the batch)
           ──► verified near-dup decision per new doc
+          ──► NOVEL docs appended to the index (idempotent per batch)
 
-State (the index) lives in parquet tables updated per batch — the
-streaming analogue of the StageStore checkpoints, resumable via the
-Structured Streaming checkpointLocation.
+so batch N+1 dedups against batches 1..N as well as the base corpus —
+first-seen-wins across the whole stream, like the stateful exact-dedup
+(streaming/stateful.py) but at near-dup granularity.
+
+State (the index) lives in parquet tables: a ``base`` build plus one
+increment subdirectory per batch, each written with overwrite into its
+own ``batch_<id>`` path so a checkpoint REPLAY of a batch converges
+instead of duplicating (the foreachBatch idempotency contract). Batch
+decisions are written the same way. Directory listing uses os.listdir —
+correct for local/NFS paths; a cloud-object-store deployment swaps in the
+Hadoop FileSystem API at `_increments` (single seam).
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,33 +40,145 @@ from ..operators.minhash import (
     doc_shingles,
     lsh_buckets,
     minhash_signatures,
+    near_duplicate_edges,
     verify_pairs_across,
 )
 
 
+def _write_index_tables(
+    sh: DataFrame, fp: DataFrame, cfg: MinHashConfig, index_dir: str, tag: str
+) -> None:
+    """One index unit (base or a batch increment): fingerprints, shingles,
+    LSH buckets, and the PRECOMPUTED bucket sizes (so per-batch probes
+    never re-aggregate the whole bucket table)."""
+    fp.write.mode("overwrite").parquet(f"{index_dir}/fingerprints/{tag}")
+    sh.write.mode("overwrite").parquet(f"{index_dir}/shingles/{tag}")
+    buckets = lsh_buckets(minhash_signatures(sh, cfg), cfg)
+    buckets.write.mode("overwrite").parquet(f"{index_dir}/buckets/{tag}")
+    buckets.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("nb")
+    ).write.mode("overwrite").parquet(f"{index_dir}/bucket_sizes/{tag}")
+
+
 def build_index(docs: DataFrame, cfg: MinHashConfig, index_dir: str) -> None:
     """Persist the dedup index for an existing corpus: content fingerprints
-    + LSH buckets + shingle sets (for verification)."""
-    docs.select("doc_id", doc_fingerprint("text").alias("fingerprint")).write.mode(
-        "overwrite"
-    ).parquet(f"{index_dir}/fingerprints")
+    + LSH buckets (+ sizes) + shingle sets (for verification)."""
     sh = doc_shingles(docs, cfg)
-    sh.write.mode("overwrite").parquet(f"{index_dir}/shingles")
-    sigs = minhash_signatures(sh, cfg)
-    lsh_buckets(sigs, cfg).write.mode("overwrite").parquet(f"{index_dir}/buckets")
+    fp = docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+    _write_index_tables(sh, fp, cfg, index_dir, "base")
+
+
+def append_index(
+    new_docs: DataFrame, cfg: MinHashConfig, index_dir: str, batch_id: int
+) -> None:
+    """Idempotent per-batch increment: overwrite of this batch's own
+    subdirectories, so a checkpoint replay rewrites identical data."""
+    sh = doc_shingles(new_docs, cfg)
+    fp = new_docs.select(
+        "doc_id", doc_fingerprint("text").alias("fingerprint")
+    )
+    _write_index_tables(sh, fp, cfg, index_dir, f"batch_{batch_id:012d}")
+
+
+def _increments(root: str, exclude: str | None = None) -> list[str]:
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        os.path.join(root, d)
+        for d in os.listdir(root)
+        if not d.startswith(("_", ".")) and d != exclude
+    )
+
+
+def _read_index(
+    spark: SparkSession,
+    index_dir: str,
+    table: str,
+    exclude: str | None = None,
+) -> DataFrame:
+    """Union of the base build and every batch increment. ``exclude``
+    skips ONE increment — dedup_batch excludes the current batch's own
+    tag, so a checkpoint REPLAY (whose increment was already written
+    before the crash) does not match the batch's docs against themselves
+    and converges to the original decisions."""
+    paths = _increments(f"{index_dir}/{table}", exclude)
+    return spark.read.parquet(*paths)
+
+
+def _probe_candidates(
+    new_buckets: DataFrame,
+    idx_buckets: DataFrame,
+    idx_sizes: DataFrame,
+    cfg: MinHashConfig,
+) -> DataFrame:
+    """(a = new doc, b = index doc) candidate pairs from shared LSH
+    buckets, with the engine's skew policy (same thresholds as
+    minhash.candidate_pairs_across): buckets whose sides both fit
+    ``max_bucket_size`` join plainly (AQE broadcasts the micro-batch
+    side); hot buckets up to ``salted_bucket_max`` per side go through the
+    exact bipartite salted grid — a boilerplate bucket with 10^6 index
+    members never lands in one reducer task; larger buckets are dropped
+    (consistent with the batch path). ``idx_sizes`` is precomputed at
+    index-build/append time, so probing never re-aggregates the index."""
+    from ..operators.salted_join import grid_salted_cross_pairs
+
+    na = new_buckets.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    # one increment per batch => several size rows per bucket: fold first
+    nb = idx_sizes.groupBy("band", "bucket").agg(F.sum("nb").alias("nb"))
+    keys = na.join(nb, ["band", "bucket"])
+    cap, smax = cfg.max_bucket_size, cfg.salted_bucket_max
+    cool_keys = keys.filter((F.col("na") <= cap) & (F.col("nb") <= cap))
+    hot_keys = keys.filter(
+        ((F.col("na") > cap) | (F.col("nb") > cap))
+        & (F.col("na") <= smax)
+        & (F.col("nb") <= smax)
+    ).select("band", "bucket", "na", "nb")
+    cool = (
+        new_buckets.join(cool_keys.select("band", "bucket"), ["band", "bucket"])
+        .select("band", "bucket", F.col("doc_id").alias("a"))
+        .join(
+            idx_buckets.select("band", "bucket", F.col("doc_id").alias("b")),
+            ["band", "bucket"],
+        )
+        .select("a", "b")
+    )
+    ha = new_buckets.join(hot_keys, ["band", "bucket"])
+    hb = idx_buckets.join(hot_keys, ["band", "bucket"])
+    salted = grid_salted_cross_pairs(ha, hb, ["band", "bucket"], cap)
+    return cool.unionByName(salted).distinct()
 
 
 def dedup_batch(
-    spark: SparkSession, new_docs: DataFrame, cfg: MinHashConfig, index_dir: str
+    spark: SparkSession,
+    new_docs: DataFrame,
+    cfg: MinHashConfig,
+    index_dir: str,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """One micro-batch: classify each new doc as exact-dup, near-dup, or
-    novel vs the index. Returns (doc_id, verdict, matched_doc)."""
-    fps = spark.read.parquet(f"{index_dir}/fingerprints")
-    idx_buckets = spark.read.parquet(f"{index_dir}/buckets")
-    idx_shingles = spark.read.parquet(f"{index_dir}/shingles")
+    novel vs the index AND vs earlier docs of the same batch (first-seen-
+    wins by doc_id inside the batch). ``batch_id`` excludes this batch's
+    own increment from the index read (replay convergence — see
+    _read_index). Returns (doc_id, verdict, matched_doc)."""
+    own = f"batch_{batch_id:012d}" if batch_id is not None else None
+    fps = _read_index(spark, index_dir, "fingerprints", own)
+    idx_buckets = _read_index(spark, index_dir, "buckets", own)
+    idx_sizes = _read_index(spark, index_dir, "bucket_sizes", own)
+    idx_shingles = _read_index(spark, index_dir, "shingles", own)
 
     new_fp = new_docs.select(
         "doc_id", doc_fingerprint("text").alias("fingerprint")
+    )
+    # exact vs index, plus exact vs earlier docs of this batch
+    intra_fp = new_fp.alias("x").join(
+        new_fp.alias("y"),
+        (F.col("x.fingerprint") == F.col("y.fingerprint"))
+        & (F.col("x.doc_id") > F.col("y.doc_id")),
+    ).select(
+        F.col("x.doc_id").alias("doc_id"),
+        F.col("y.doc_id").alias("matched_doc"),
     )
     exact = (
         new_fp.join(
@@ -62,6 +187,8 @@ def dedup_batch(
             ),
             "fingerprint",
         )
+        .select("doc_id", "matched_doc")
+        .unionByName(intra_fp)
         .groupBy("doc_id")
         .agg(F.min("matched_doc").alias("matched_doc"))
         .withColumn("verdict", F.lit("exact"))
@@ -69,33 +196,38 @@ def dedup_batch(
 
     new_sh = doc_shingles(new_docs, cfg)
     new_buckets = lsh_buckets(minhash_signatures(new_sh, cfg), cfg)
-    cands = (
-        new_buckets.join(
-            idx_buckets.select(
-                "band", "bucket", F.col("doc_id").alias("b")
-            ),
-            ["band", "bucket"],
-        )
-        .select(F.col("doc_id").alias("a"), "b")
-        .distinct()
-    )
+    cands = _probe_candidates(new_buckets, idx_buckets, idx_sizes, cfg)
     # two-sided verify: new-batch ids and index ids are independent spaces
     # (a colliding doc_id must not pull the wrong shingle set — ADVICE r1)
+    near_idx = verify_pairs_across(cands, new_sh, idx_shingles, cfg).select(
+        F.col("a").alias("doc_id"), F.col("b").alias("matched_doc")
+    )
+    # intra-batch near pass: later doc matches the earliest near-dup peer
+    near_intra = near_duplicate_edges(new_docs, cfg).select(
+        F.greatest("a", "b").alias("doc_id"),
+        F.least("a", "b").alias("matched_doc"),
+    )
     near = (
-        verify_pairs_across(cands, new_sh, idx_shingles, cfg)
-        .groupBy("a")
-        .agg(F.min("b").alias("matched_doc"))
-        .select(F.col("a").alias("doc_id"), "matched_doc")
+        near_idx.unionByName(near_intra)
+        .groupBy("doc_id")
+        .agg(F.min("matched_doc").alias("matched_doc"))
         .withColumn("verdict", F.lit("near"))
     )
 
-    classified = exact.unionByName(near.join(exact.select("doc_id"), "doc_id", "left_anti"))
+    classified = exact.unionByName(
+        near.join(exact.select("doc_id"), "doc_id", "left_anti")
+    )
     novel = new_docs.select("doc_id").join(
         classified.select("doc_id"), "doc_id", "left_anti"
     ).withColumn("matched_doc", F.lit(None).cast("long")).withColumn(
         "verdict", F.lit("novel")
     )
     return classified.unionByName(novel)
+
+
+def read_decisions(spark: SparkSession, output_dir: str) -> DataFrame:
+    """All per-batch decision frames written by start_incremental_dedup."""
+    return spark.read.parquet(*_increments(output_dir))
 
 
 def start_incremental_dedup(
@@ -107,16 +239,40 @@ def start_incremental_dedup(
     cfg: MinHashConfig,
     schema,
     available_now: bool = True,
+    grow_index: bool = True,
 ):
-    """readStream(file source) -> foreachBatch(dedup_batch) -> parquet sink.
-    availableNow processes the backlog then stops (test/batch-catchup mode);
-    otherwise runs continuously as new files land."""
+    """readStream(file source) -> foreachBatch(dedup_batch) -> per-batch
+    parquet decisions (read back via ``read_decisions``). With
+    ``grow_index`` (default) each batch's NOVEL docs are appended to the
+    index before the next batch, so the stream dedups against itself —
+    first-seen-wins end to end. All per-batch writes are overwrite-into-
+    own-subdirectory, so checkpoint replays converge (idempotent sink).
+    availableNow processes the backlog then stops (test/batch-catchup
+    mode); otherwise runs continuously as new files land."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        out = dedup_batch(spark, batch_df, cfg, index_dir)
-        out.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            output_dir
-        )
+        from ..plans.caching import cache_scope
+
+        # scope the per-batch operator caches (shingles, bucket frames):
+        # without it every micro-batch would leave persisted frames
+        # registered for the life of the session
+        with cache_scope():
+            batch_df = batch_df.persist()
+            out = dedup_batch(
+                spark, batch_df, cfg, index_dir, batch_id=batch_id
+            ).persist()
+            if grow_index:
+                novel_ids = out.filter(
+                    F.col("verdict") == "novel"
+                ).select("doc_id")
+                append_index(
+                    batch_df.join(novel_ids, "doc_id"), cfg, index_dir, batch_id
+                )
+            out.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).parquet(f"{output_dir}/batch_{batch_id:012d}")
+            out.unpersist()
+            batch_df.unpersist()
 
     reader = spark.readStream.schema(schema).parquet(input_dir)
     writer = reader.writeStream.foreachBatch(process).option(

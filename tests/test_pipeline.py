@@ -72,6 +72,7 @@ def test_neardup_with_store_resumes(spark, docs, tmp_path_factory):
 def test_streaming_incremental_dedup(spark, docs, tmp_path_factory):
     from deduplicate_text_datasets_spark.streaming.ingest import (
         build_index,
+        read_decisions,
         start_incremental_dedup,
     )
 
@@ -98,7 +99,7 @@ def test_streaming_incremental_dedup(spark, docs, tmp_path_factory):
         [
             (1000, "https://new/0", t0, "en"),
             (1001, "https://new/1", near, "en"),
-            (1002, "https://new/2", "entirely fresh words " * 30, "en"),
+            (1002, "https://new/2", " ".join(f"qq{i}" for i in range(120)), "en"),
         ],
         "doc_id long, url string, text string, lang string",
     )
@@ -109,7 +110,61 @@ def test_streaming_incremental_dedup(spark, docs, tmp_path_factory):
         schema=new.schema, available_now=True,
     )
     q.awaitTermination(120)
-    out = {r["doc_id"]: r["verdict"] for r in spark.read.parquet(output_dir).collect()}
+    out = {
+        r["doc_id"]: r["verdict"]
+        for r in read_decisions(spark, output_dir).collect()
+    }
     assert out[1000] == "exact"
     assert out[1001] == "near"
     assert out[1002] == "novel"
+
+    # ---- the index GREW by the novel doc: a second batch containing a
+    # near-copy of 1002 (novel in batch 0, never in the base corpus) and an
+    # exact copy of it must now be flagged against batch 0's doc ----
+    fresh = " ".join(f"qq{i}" for i in range(120))
+    w = fresh.split()
+    w[5] = "slightlydifferent"
+    near2 = " ".join(w)  # 5 of 116 shingles differ: J ≈ 0.92 >= 0.8
+    b2 = spark.createDataFrame(
+        [
+            (2000, "https://new/3", fresh, "en"),       # exact of 1002
+            (2001, "https://new/4", near2, "en"),       # near of 1002
+            (2002, "https://new/5", "wholly other payload " * 40, "en"),
+            (2003, "https://new/6", "wholly other payload " * 40, "en"),
+        ],
+        "doc_id long, url string, text string, lang string",
+    )
+    b2.write.mode("append").parquet(input_dir)
+    q2 = start_incremental_dedup(
+        spark, input_dir, index_dir, output_dir, checkpoint_dir, cfg,
+        schema=new.schema, available_now=True,
+    )
+    q2.awaitTermination(120)
+    rows = {
+        r["doc_id"]: (r["verdict"], r["matched_doc"])
+        for r in read_decisions(spark, output_dir).collect()
+    }
+    assert rows[2000] == ("exact", 1002)
+    assert rows[2001] == ("near", 1002)
+    # intra-batch first-seen-wins: 2003 is an exact copy of 2002
+    assert rows[2002][0] == "novel"
+    assert rows[2003] == ("exact", 2002)
+
+    # ---- replay convergence: re-running the batch with its own increment
+    # already on disk must reproduce the decisions, not self-match ----
+    from deduplicate_text_datasets_spark.streaming.ingest import dedup_batch
+
+    last_batch = max(
+        int(d.split("_")[1])
+        for d in os.listdir(output_dir)
+        if d.startswith("batch_")
+    )
+    replay = {
+        r["doc_id"]: (r["verdict"], r["matched_doc"])
+        for r in dedup_batch(
+            spark, b2, cfg, index_dir, batch_id=last_batch
+        ).collect()
+    }
+    assert replay[2000] == ("exact", 1002)
+    assert replay[2002][0] == "novel"
+    assert replay[2003] == ("exact", 2002)
