@@ -266,7 +266,10 @@ def cosine_pairs(
         if copartition:
             b = b.repartition("bucket")
         b = scoped_persist(b)
-        sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsize"))
+        # two consumers (fast-path filter + hot-bucket filter)
+        sizes = scoped_persist(
+            b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsize"))
+        )
         sized = b.join(
             sizes.filter(
                 (F.col("bsize") >= 2) & (F.col("bsize") <= max_bucket_size)

@@ -174,8 +174,12 @@ def candidate_pairs(
     if copartition:
         buckets = buckets.repartition("band", "bucket")
     buckets = scoped_persist(buckets)
-    sizes = buckets.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("bsize")
+    # consumed twice (fast-path filter + hot-bucket filter): persist the
+    # tiny size frame rather than re-aggregating the bucket frame per use
+    sizes = scoped_persist(
+        buckets.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("bsize")
+        )
     )
     sized = buckets.join(
         sizes.filter(

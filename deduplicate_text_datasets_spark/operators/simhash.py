@@ -130,8 +130,11 @@ def simhash_candidates(
     if copartition:
         exploded = exploded.repartition("block", "value")
     exploded = scoped_persist(exploded)
-    sizes = exploded.groupBy("block", "value").agg(
-        F.count(F.lit(1)).alias("bsize")
+    # two consumers (fast-path filter + hot-bucket filter)
+    sizes = scoped_persist(
+        exploded.groupBy("block", "value").agg(
+            F.count(F.lit(1)).alias("bsize")
+        )
     )
     sized = exploded.join(
         sizes.filter(

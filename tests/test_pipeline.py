@@ -168,3 +168,38 @@ def test_streaming_incremental_dedup(spark, docs, tmp_path_factory):
     assert replay[2000] == ("exact", 1002)
     assert replay[2002][0] == "novel"
     assert replay[2003] == ("exact", 2002)
+
+
+def test_streaming_probe_salted_parity(spark, docs, tmp_path_factory):
+    """Forcing every index bucket through the bipartite salted grid
+    (cap=2) must reproduce the plain probe's decisions — the skew guard
+    re-distributes the probe join, never changes it."""
+    from deduplicate_text_datasets_spark.streaming.ingest import (
+        build_index,
+        dedup_batch,
+    )
+
+    base = tmp_path_factory.mktemp("probe")
+    cfg = MinHashConfig()
+    index_dir = str(base / "idx")
+    build_index(docs, cfg, index_dir)
+    rows = docs.limit(6).collect()
+    batch = spark.createDataFrame(
+        [(5000 + i, f"https://b/{i}", r["text"], "en") for i, r in enumerate(rows)]
+        + [(6000, "https://b/x", " ".join(f"zz{i}" for i in range(80)), "en")],
+        "doc_id long, url string, text string, lang string",
+    )
+    plain = {
+        r["doc_id"]: (r["verdict"], r["matched_doc"])
+        for r in dedup_batch(spark, batch, cfg, index_dir).collect()
+    }
+    salted_cfg = MinHashConfig(max_bucket_size=2, salted_bucket_max=10**6)
+    index_dir2 = str(base / "idx2")
+    build_index(docs, salted_cfg, index_dir2)
+    salted = {
+        r["doc_id"]: (r["verdict"], r["matched_doc"])
+        for r in dedup_batch(spark, batch, salted_cfg, index_dir2).collect()
+    }
+    assert plain == salted
+    assert all(plain[5000 + i][0] == "exact" for i in range(6))
+    assert plain[6000][0] == "novel"
