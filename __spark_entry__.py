@@ -556,6 +556,32 @@ def _q_across_similar_positions(spark, sf_dir):
     return dups_a.select(F.col("pos").cast("long").alias("pos"))
 
 
+def _q_contamination_report(spark, sf_dir):
+    """Per-eval-doc contamination scorecard (train = even doc_ids, eval =
+    odd — the across gates' split): exact-copy flag, earliest near-dup
+    train doc, and bytes covered by >= L-byte substrings occurring in the
+    train corpus. Composes three gate-verified detectors
+    (plans.pipeline.contamination_report); the oracle composes the same
+    three oracle SQL bodies. contaminated_frac is left out of the gate
+    frame (float; derivable as contaminated_bytes / strlen)."""
+    from deduplicate_text_datasets_spark.plans.pipeline import (
+        contamination_report,
+    )
+
+    docs = _docs(spark, sf_dir)
+    rep = contamination_report(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        EngineConfig(exact=SS_CFG),
+    )
+    return rep.select(
+        "doc_id",
+        "exact_dup",
+        F.col("near_dup_match").cast("long").alias("near_dup_match"),
+        F.col("contaminated_bytes").cast("long").alias("contaminated_bytes"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "global_offsets": _q_global_offsets,
@@ -586,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenized_deduped_docs": _q_tokenized_deduped_docs,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "across_similar_positions": _q_across_similar_positions,
+        "contamination_report": _q_contamination_report,
     }
 
 
@@ -800,6 +827,71 @@ FROM pairs
 JOIN (SELECT doc_id, len(s) AS ns FROM sh) sa ON sa.doc_id = a
 JOIN (SELECT doc_id, len(s) AS ns FROM sh) sb ON sb.doc_id = b
 WHERE {jden} * inter >= {jnum} * (sa.ns + sb.ns - inter)""",
+        # contamination scorecard: composes the across-similar substring
+        # oracle (B side, coalesced + clipped per doc), the bipartite
+        # near-dup oracle, and plain text-equality for exact copies
+        "contamination_report": f"""
+WITH ca AS (
+  SELECT string_agg(text, '' ORDER BY doc_id) AS c FROM documents WHERE doc_id % 2 = 0
+), cb AS (
+  SELECT string_agg(text, '' ORDER BY doc_id) AS c FROM documents WHERE doc_id % 2 = 1
+), wb AS (
+  SELECT i - 1 AS pos, substr(c, i, 100) AS w
+  FROM cb, UNNEST(range(1, strlen(c) - 100 + 2)) t(i)
+), wa AS (
+  SELECT DISTINCT substr(c, i, 100) AS w
+  FROM ca, UNNEST(range(1, strlen(c) - 100 + 2)) t(i)
+), dupb AS (
+  SELECT pos FROM wb WHERE w IN (SELECT w FROM wa)
+), flagged AS (
+  SELECT pos, CASE WHEN LAG(pos) OVER (ORDER BY pos) IS NULL
+                     OR pos > LAG(pos) OVER (ORDER BY pos) + 100
+              THEN 1 ELSE 0 END AS f FROM dupb
+), grp AS (
+  SELECT pos, SUM(f) OVER (ORDER BY pos) AS g FROM flagged
+), ranges AS (
+  SELECT MIN(pos) AS rs, MAX(pos) + 100 AS re FROM grp GROUP BY g
+), offs AS (
+  SELECT doc_id, strlen(text) AS len,
+    COALESCE(SUM(strlen(text)) OVER (ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bs
+  FROM documents WHERE doc_id % 2 = 1
+), cov AS (
+  SELECT o.doc_id,
+         SUM(LEAST(r.re, o.bs + o.len) - GREATEST(r.rs, o.bs)) AS covered
+  FROM offs o JOIN ranges r ON r.rs < o.bs + o.len AND r.re > o.bs
+  GROUP BY o.doc_id
+), toks AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 5
+      THEN [array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w) - 3)]
+      ELSE [array_to_string(w, ' ')] END) AS s
+  FROM toks WHERE len(w) > 0
+), ia AS (
+  SELECT doc_id, UNNEST(s) AS g FROM sh WHERE doc_id % 2 = 0
+), ib AS (
+  SELECT doc_id, UNNEST(s) AS g FROM sh WHERE doc_id % 2 = 1
+), np AS (
+  SELECT y.doc_id AS o, x.doc_id AS e, COUNT(*) AS inter
+  FROM ia x JOIN ib y ON x.g = y.g
+  GROUP BY 1, 2
+), nj AS (
+  SELECT np.o AS o, MIN(np.e) AS near_min
+  FROM np
+  JOIN (SELECT doc_id, len(s) AS ns FROM sh) sa ON sa.doc_id = np.e
+  JOIN (SELECT doc_id, len(s) AS ns FROM sh) sb ON sb.doc_id = np.o
+  WHERE {jden} * np.inter >= {jnum} * (sa.ns + sb.ns - np.inter)
+  GROUP BY np.o
+)
+SELECT d.doc_id,
+  d.text IN (SELECT text FROM documents WHERE doc_id % 2 = 0) AS exact_dup,
+  CAST(nj.near_min AS BIGINT) AS near_dup_match,
+  CAST(COALESCE(cov.covered, 0) AS BIGINT) AS contaminated_bytes
+FROM documents d
+LEFT JOIN nj ON nj.o = d.doc_id
+LEFT JOIN cov ON cov.doc_id = d.doc_id
+WHERE d.doc_id % 2 = 1""",
         "doc_stats": f"""
 SELECT doc_id,
   CAST(strlen(text) AS BIGINT) AS n_bytes,

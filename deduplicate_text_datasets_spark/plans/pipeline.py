@@ -254,3 +254,92 @@ def across_dedup(
     return AcrossDedupResult(
         dups_a, ranges_a, deduped_a, dups_b, ranges_b, deduped_b
     )
+
+
+def contamination_report(
+    docs_train: DataFrame,
+    docs_eval: DataFrame,
+    cfg: EngineConfig,
+    copartition: bool = True,
+) -> DataFrame:
+    """Per-eval-doc contamination scorecard vs a training corpus — the
+    reference repo's headline use case (README.md:10: measuring how much
+    of an eval set already sits inside the training data), every level in
+    one declarative frame:
+
+      exact_dup           content-fingerprint match in the train corpus
+      near_dup_match      earliest train doc with shingle-Jaccard >=
+                          cfg.minhash.jaccard_threshold (MinHash/LSH
+                          across + exact verify), null if none
+      contaminated_bytes  bytes of the eval doc covered by >= L-byte
+                          substrings that also occur in the train corpus
+                          (across_dedup B-side remove-ranges clipped to
+                          the doc's text extent)
+      contaminated_frac   contaminated_bytes / octet_length(text)
+
+    One row per eval doc (zeros/nulls when clean). All three detectors
+    are the gate-verified operators; this function is their composition.
+    """
+    from ..functions.text import doc_fingerprint
+    from ..operators.intervals import interval_join
+    from ..operators.minhash import near_duplicate_edges_across
+    from ..plans.caching import scoped_persist
+
+    eval_docs = scoped_persist(docs_eval)
+    tf = docs_train.select(doc_fingerprint("text").alias("fingerprint")).distinct()
+    exact = (
+        eval_docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+        .join(tf, "fingerprint", "left_semi")
+        .select("doc_id")
+        .withColumn("exact_dup", F.lit(True))
+    )
+    near = (
+        near_duplicate_edges_across(
+            eval_docs, docs_train, cfg.minhash, copartition=copartition
+        )
+        .groupBy("a")
+        .agg(F.min("b").alias("near_dup_match"))
+        .withColumnRenamed("a", "doc_id")
+    )
+    res = across_dedup(docs_train, eval_docs, cfg, copartition=copartition)
+    # ranges_b live in B-corpus global byte coordinates; with_offsets is a
+    # pure function of the doc frame, so this reconstructs the exact
+    # coordinate system across_dedup used
+    eval_off = with_offsets(eval_docs, cfg.exact.with_separators).select(
+        "doc_id",
+        "byte_start",
+        "byte_end",
+        F.octet_length("text").alias("text_len"),
+    )
+    overlaps = interval_join(res.ranges_b, eval_off).select(
+        "doc_id",
+        "text_len",
+        (
+            F.least(F.col("end"), F.col("byte_start") + F.col("text_len"))
+            - F.greatest(F.col("start"), F.col("byte_start"))
+        ).alias("ov"),
+    )
+    per_doc = overlaps.filter(F.col("ov") > 0).groupBy("doc_id").agg(
+        F.sum("ov").alias("contaminated_bytes")
+    )
+    return (
+        eval_docs.select(
+            "doc_id", "url", F.octet_length("text").alias("text_len")
+        )
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "url",
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+            "near_dup_match",
+            F.coalesce("contaminated_bytes", F.lit(0)).alias(
+                "contaminated_bytes"
+            ),
+            (
+                F.coalesce("contaminated_bytes", F.lit(0))
+                / F.greatest("text_len", F.lit(1))
+            ).alias("contaminated_frac"),
+        )
+    )

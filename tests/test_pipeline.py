@@ -203,3 +203,58 @@ def test_streaming_probe_salted_parity(spark, docs, tmp_path_factory):
     assert plain == salted
     assert all(plain[5000 + i][0] == "exact" for i in range(6))
     assert plain[6000][0] == "novel"
+
+
+def test_contamination_report_levels(spark):
+    """The scorecard must detect each contamination level independently:
+    exact copy, near copy (doc-level), shared >=L-byte substring
+    (substring-level only), and a clean doc with zeros/nulls."""
+    from deduplicate_text_datasets_spark.config import ExactSubstrConfig
+    from deduplicate_text_datasets_spark.plans.caching import cache_scope
+    from deduplicate_text_datasets_spark.plans.pipeline import (
+        contamination_report,
+    )
+
+    uniq = lambda p, n: " ".join(f"{p}{i}" for i in range(n))  # noqa: E731
+    s_shared = "S" + "x" * 58 + "Z"  # 60-byte distinctive substring
+    train = spark.createDataFrame(
+        [
+            (0, "https://t/0", uniq("aa", 120), "en"),
+            (1, "https://t/1", uniq("bb", 40) + " " + s_shared + " " + uniq("cc", 40), "en"),
+            (2, "https://t/2", uniq("dd", 120), "en"),
+        ],
+        "doc_id long, url string, text string, lang string",
+    )
+    near_w = uniq("dd", 120).split()
+    near_w[7] = "changedword"
+    ev = spark.createDataFrame(
+        [
+            (10, "https://e/0", uniq("aa", 120), "en"),            # exact copy of 0
+            (11, "https://e/1", " ".join(near_w), "en"),           # near copy of 2
+            (12, "https://e/2", uniq("ee", 30) + " " + s_shared + " " + uniq("ff", 30), "en"),
+            (13, "https://e/3", uniq("gg", 120), "en"),            # clean
+        ],
+        "doc_id long, url string, text string, lang string",
+    )
+    cfg = EngineConfig(
+        exact=ExactSubstrConfig(
+            length_threshold=50, shard_bytes=4096, overlap_bytes=256,
+            with_separators=True,
+        )
+    )
+    with cache_scope():
+        rep = {
+            r["doc_id"]: r
+            for r in contamination_report(train, ev, cfg).collect()
+        }
+    assert len(rep) == 4
+    assert rep[10]["exact_dup"] and rep[10]["near_dup_match"] == 0
+    assert rep[10]["contaminated_frac"] > 0.8
+    assert not rep[11]["exact_dup"] and rep[11]["near_dup_match"] == 2
+    assert rep[11]["contaminated_bytes"] > 0
+    assert not rep[12]["exact_dup"] and rep[12]["near_dup_match"] is None
+    assert 50 <= rep[12]["contaminated_bytes"] <= 80
+    assert rep[13] ["exact_dup"] is False
+    assert rep[13]["near_dup_match"] is None
+    assert rep[13]["contaminated_bytes"] == 0
+    assert rep[13]["contaminated_frac"] == 0.0
