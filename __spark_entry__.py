@@ -311,6 +311,36 @@ def _q_ann_topk(spark, sf_dir):
     return cosine_topk(emb, queries, k=10).select("query_id", "rank", "neighbor_id")
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher/MassiveText within-doc repetition filter signals (Rae et al.
+    2021) — dup-line fraction + top/dup n-gram character coverage, integer
+    ppm semantics mirrored exactly in the DuckDB oracle."""
+    from deduplicate_text_datasets_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_ann_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN (operators/ann.py IVF section) run at
+    nprobe == nlist, where probing every inverted list makes the index
+    exactly brute force — so the machinery (train/assign/probe/score) is
+    gate-checked against the same DuckDB cosine oracle as ann_topk. The
+    approximate regime (nprobe < nlist) is covered by the recall pytest
+    (tests/test_extensions.py::test_ivf_partial_probe_recall) with the
+    measured number recorded in BASELINE.md."""
+    from deduplicate_text_datasets_spark.operators.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, dim=64, k=10, nlist=16, nprobe=16).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
 def _q_page_text_extract(spark, sf_dir):
     """HTML->text extraction invariant (input_hint: 'byte-identical
     extracted text per url'). A deterministic html payload is derived from
@@ -599,7 +629,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
+        "repetition_stats": _q_repetition_stats,
         "ann_topk": _q_ann_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "canonical_pages": _q_canonical_pages,
         "page_text_extract": _q_page_text_extract,
         "clean_corpus": _q_clean_corpus,
@@ -934,7 +966,64 @@ SELECT doc_id,
        ELSE 'und' END AS lang_pred,
   GREATEST(s_en, s_de, s_fr, s_es) AS lang_hits
 FROM scores""",
+        # integer ppm semantics ((1000000 * x) DIV y) on both sides; '//'
+        # is floor-div in DuckDB and DIV truncates in Spark — identical on
+        # the non-negative values here
+        "repetition_stats": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+), g AS (
+  SELECT doc_id, UNNEST(CASE WHEN len(w) >= 3
+      THEN [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+      ELSE [] END) AS gram
+  FROM toks
+), gc AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2
+), ga AS (
+  SELECT doc_id,
+         MAX(cnt * strlen(gram)) AS top_chars,
+         SUM(CASE WHEN cnt >= 2 THEN cnt * strlen(gram) END) AS dup_chars,
+         SUM(cnt * strlen(gram)) AS tot_chars
+  FROM gc GROUP BY 1
+), ln AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, chr(10)), x -> x <> '')) AS nl,
+         len(list_distinct(list_filter(string_split(text, chr(10)), x -> x <> ''))) AS ndl
+  FROM documents
+)
+SELECT d.doc_id,
+  CAST(CASE WHEN nl > 0 THEN (1000000 * (nl - ndl)) // nl ELSE 0 END AS BIGINT)
+      AS dup_line_ppm,
+  CAST(COALESCE((1000000 * top_chars) // tot_chars, 0) AS BIGINT)
+      AS top_ngram_ppm,
+  CAST(COALESCE((1000000 * COALESCE(dup_chars, 0)) // tot_chars, 0) AS BIGINT)
+      AS dup_ngram_ppm
+FROM documents d
+LEFT JOIN ga ON ga.doc_id = d.doc_id
+JOIN ln ON ln.doc_id = d.doc_id""",
         "ann_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+), scored AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         list_dot_product(qv, ev) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(ev, ev))) AS cosine
+  FROM q CROSS JOIN v WHERE query_id <> vec_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10""",
+        # nprobe == nlist probes every inverted list, so the IVF result is
+        # definitionally the exact brute-force top-k — same oracle as
+        # ann_topk (what the gate checks is the train/assign/probe/score
+        # machinery, not the approximation)
+        "ann_ivf_topk": """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
   FROM embeddings WHERE vec_id < 5

@@ -3,8 +3,17 @@
 Brute-force cosine top-k is the exact baseline: a broadcast join of the
 (small) query set against all vectors, the dot product evaluated JVM-side
 with zip_with/aggregate in double precision, ranked per query with a
-window. The scale path is LSH bucketing (random hyperplanes — the same
-family as SimHash) which restricts each query to one bucket's candidates.
+window. Two scale paths restrict each query to a candidate subset:
+
+- LSH bucketing (random hyperplanes — the same family as SimHash), data-
+  independent, sized analytically via ``lsh_tables_for``;
+- an IVF index (spherical k-means coarse quantizer, FAISS ``IndexIVFFlat``
+  shape): vectors are assigned to their nearest of ``nlist`` centroids and
+  a query scores only its ``nprobe`` nearest lists. Data-dependent, so it
+  adapts to clustered embedding spaces where hyperplane buckets split
+  natural clusters. ``nprobe == nlist`` degenerates to exact brute force
+  (every vector is in exactly one list), which is the oracle-checkable
+  configuration the ``ann_ivf_topk`` gate runs.
 
 For embedding-based near-duplicate detection, ``cosine_pairs`` returns all
 pairs above a cosine threshold within LSH buckets.
@@ -312,3 +321,245 @@ def cosine_pairs(
             "a", "b", F.floor(F.col("cosine") * 1000).cast("long").alias("cos_mil")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index: spherical k-means coarse quantizer
+# ---------------------------------------------------------------------------
+
+IVF_ASSIGN_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("list_id", T.IntegerType(), False),
+        T.StructField("unit", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def _unit_rows(pdf: pd.DataFrame, vec_col: str) -> np.ndarray:
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    np.divide(m, norms, out=m, where=norms > 0)
+    return m
+
+
+def train_centroids(
+    emb: DataFrame,
+    dim: int,
+    nlist: int,
+    vec_col: str = "embedding",
+    sample_cap: int = 65_536,
+    iters: int = 10,
+) -> np.ndarray:
+    """Spherical k-means centroids (unit rows, shape (nlist, dim)) trained
+    on a deterministic hash-sampled subset collected to the driver.
+
+    The collect is config-sized (<= ~2*sample_cap rows of dim doubles, a
+    few MB at dim<=1024) — the standard IVF training shape: FAISS trains
+    IndexIVFFlat quantizers on a bounded sample regardless of corpus size,
+    because centroid quality saturates long before the sample does. The
+    sample filter is xxhash64-based so it is deterministic under any input
+    partitioning (unlike DataFrame.sample, whose row choice depends on the
+    partition layout). Empty clusters are reseeded to the currently
+    worst-represented sample point (lowest best-similarity), which is the
+    deterministic analogue of k-means++ re-init.
+    """
+    n = emb.count()
+    every = max(1, n // sample_cap)
+    rows = (
+        emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(every)) == 0)
+        .select("vec_id", vec_col)
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])  # collect order is not defined
+    m = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    np.divide(m, norms, out=m, where=norms > 0)
+    if m.shape[0] < nlist:
+        raise ValueError(
+            f"IVF training sample ({m.shape[0]} rows) smaller than "
+            f"nlist={nlist}; lower nlist or raise sample_cap"
+        )
+    rng = np.random.RandomState(ANN_SEED + 1)
+    cents = m[rng.choice(m.shape[0], size=nlist, replace=False)].copy()
+    for _ in range(iters):
+        sims = m @ cents.T  # (ns, nlist)
+        assign = sims.argmax(axis=1)
+        best = sims.max(axis=1)
+        new = np.zeros_like(cents)
+        np.add.at(new, assign, m)
+        counts = np.bincount(assign, minlength=nlist)
+        empty = np.flatnonzero(counts == 0)
+        if empty.size:
+            # reseed each empty list to a distinct worst-covered point
+            far = np.argsort(best)[: empty.size]
+            new[empty] = m[far]
+            counts[empty] = 1
+        nn = np.linalg.norm(new, axis=1, keepdims=True)
+        np.divide(new, nn, out=new, where=nn > 0)
+        if np.array_equal(new, cents):
+            break
+        cents = new
+    return cents
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, list_id, unit): nearest-centroid assignment, vectorized —
+    one (batch x dim) @ (dim x nlist) matmul per Arrow batch. Ties break to
+    the lowest list_id (np.argmax first-occurrence), deterministically.
+    The unit-normalized vector rides along so probes score without a join
+    back to the raw table. The centroid matrix ships inside the kernel
+    closure, so nlist*dim*8 bytes must stay task-shippable (a few hundred
+    MB at most — the same in-RAM-quantizer contract as FAISS IndexIVFFlat;
+    quantizer sharding for larger nlist is out of scope)."""
+    cent_t = centroids.T.copy()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _unit_rows(pdf, vec_col)
+            lists = (m @ cent_t).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "list_id": lists.astype(np.int32),
+                    "unit": list(m),
+                }
+            )
+
+    return emb.select("vec_id", vec_col).mapInPandas(kernel, IVF_ASSIGN_SCHEMA)
+
+
+def _probe_lists(
+    queries: DataFrame, centroids: np.ndarray, nprobe: int, vec_col: str
+) -> DataFrame:
+    """(query_id, list_id, q_unit): each query's nprobe nearest centroid
+    lists. Queries are small by the same contract as cosine_topk."""
+    cent_t = centroids.T.copy()
+    nprobe = min(nprobe, centroids.shape[0])
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("list_id", T.IntegerType(), False),
+            T.StructField("q_unit", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _unit_rows(pdf, vec_col)
+            sims = m @ cent_t
+            # deterministic top-nprobe per row: stable sort on -sim keeps
+            # ascending list_id order for tied similarities
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(
+                        pdf["query_id"].to_numpy(), nprobe
+                    ),
+                    "list_id": order.astype(np.int32).ravel(),
+                    "q_unit": [u for u in m for _ in range(nprobe)],
+                }
+            )
+
+    return queries.select(F.col("query_id"), F.col(vec_col)).mapInPandas(
+        kernel, schema
+    )
+
+
+def _ivf_rank(assigned: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+    """Score probed lists and take per-query top-k. The probe frame is tiny
+    (|queries| * nprobe rows) and broadcast, so the big assigned frame never
+    shuffles for the candidate join; only the surviving candidates (an
+    nprobe/nlist fraction of the corpus per query) cross the top-k window's
+    exchange."""
+    cands = assigned.join(F.broadcast(probes), "list_id").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    scored = cands.withColumn("cosine", _dot("q_unit", "unit"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    nlist: int = 64,
+    nprobe: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k through an in-session IVF index:
+    train -> assign -> probe nprobe lists -> exact-score -> window top-k.
+    Returns (query_id, rank, neighbor_id, cosine); nprobe == nlist is
+    exactly brute force (gate-checkable against the cosine_topk oracle).
+    For build-once/query-many reuse across sessions, use build_ivf_index /
+    ivf_topk_indexed."""
+    from ..plans.caching import scoped_persist
+
+    cents = train_centroids(emb, dim, nlist, vec_col)
+    assigned = scoped_persist(ivf_assign(emb, cents, vec_col).repartition("list_id"))
+    probes = _probe_lists(queries, cents, nprobe, vec_col)
+    return _ivf_rank(assigned, probes, k)
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    dim: int,
+    nlist: int = 64,
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: {path}/centroids.parquet (nlist small rows) +
+    {path}/lists.parquet clustered by list_id so a probe's file scan prunes
+    to its lists (build-once/query-many, same shape as operators/sa_index).
+    """
+    spark = emb.sparkSession
+    cents = train_centroids(emb, dim, nlist, vec_col)
+    cent_rows = [
+        (int(i), [float(x) for x in cents[i]]) for i in range(cents.shape[0])
+    ]
+    spark.createDataFrame(
+        cent_rows, "list_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    (
+        ivf_assign(emb, cents, vec_col)
+        .repartition("list_id")
+        .sortWithinPartitions("list_id")
+        .write.mode("overwrite")
+        .parquet(f"{path}/lists.parquet")
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Answer top-k from a persisted IVF index (no training, no assignment
+    pass — the read of lists.parquet prunes to probed lists via the pushed
+    list_id IN (...) filter when queries are few)."""
+    crows = spark.read.parquet(f"{path}/centroids.parquet").collect()
+    crows.sort(key=lambda r: r["list_id"])
+    cents = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in crows])
+    assigned = spark.read.parquet(f"{path}/lists.parquet")
+    probes = _probe_lists(queries, cents, nprobe, vec_col)
+    return _ivf_rank(assigned, probes, k)

@@ -107,3 +107,68 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, fingerprint): token-normalized 64-bit content fingerprint."""
     return docs.select("doc_id", doc_fingerprint(text_col).alias("fingerprint"))
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    MassiveText quality pipeline) — the filter family that catches
+    boilerplate/spam pages whose *internal* repetition exact-substring
+    dedup does not remove. Returns per doc (all LongType, ppm-scaled so
+    the gate's value hash stays float-free):
+
+      dup_line_ppm    fraction of non-empty '\\n'-lines that are repeats
+                      of an earlier line (1 - distinct/total);
+      top_ngram_ppm   chars covered by the single most-repeated word
+                      n-gram, as count*len(gram) / total gram chars;
+      dup_ngram_ppm   chars in n-gram instances whose gram occurs >= 2
+                      times in the doc, over total gram chars.
+
+    Exact integer semantics (x DIV y, not float) so the DuckDB oracle
+    matches bit-for-bit. The line stats are pure per-row Catalyst (no
+    shuffle); the gram stats are one explode + two keyed aggregations —
+    both keys carry doc_id, so partial aggregation combines map-side and
+    no key can get hotter than the longest single document. Docs with
+    fewer than n tokens have no n-grams and report 0 (unlike NearDup
+    shingles there is no whole-doc fallback: repetition of a doc shorter
+    than the window is meaningless)."""
+    toks = tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: x != "")
+    base = docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("nl"),
+        F.size(F.array_distinct(lines)).cast("long").alias("ndl"),
+        F.explode_outer(grams).alias("gram"),
+    )
+    per_gram = base.groupBy("doc_id", "nl", "ndl", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    chars = F.col("cnt") * F.length("gram").cast("long")
+    agg = per_gram.groupBy("doc_id", "nl", "ndl").agg(
+        F.max(F.when(F.col("gram").isNotNull(), chars)).alias("top_chars"),
+        F.sum(F.when(F.col("gram").isNotNull() & (F.col("cnt") >= 2), chars)).alias(
+            "dup_chars"
+        ),
+        F.sum(F.when(F.col("gram").isNotNull(), chars)).alias("tot_chars"),
+    )
+    def ppm(expr: str) -> Column:
+        return F.coalesce(
+            F.expr(f"CAST((1000000 * ({expr})) DIV tot_chars AS BIGINT)"),
+            F.lit(0).cast("long"),
+        )
+
+    return agg.select(
+        "doc_id",
+        F.expr(
+            "CAST(CASE WHEN nl > 0 THEN (1000000 * (nl - ndl)) DIV nl "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("dup_line_ppm"),
+        ppm("top_chars").alias("top_ngram_ppm"),
+        ppm("COALESCE(dup_chars, 0)").alias("dup_ngram_ppm"),
+    )

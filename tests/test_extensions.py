@@ -219,3 +219,147 @@ def test_cosine_pairs_salted_buckets_parity(spark, emb):
         ).collect()
     }
     assert len(plain) > 0 and salted == plain
+
+
+# --- IVF index (coarse-quantizer ANN, operators/ann.py IVF section) --------
+
+
+def test_ivf_full_probe_is_exact(spark, emb):
+    """nprobe == nlist probes every inverted list, so the IVF plan must
+    reproduce exact brute-force ranks bit-for-bit (this is also what the
+    ann_ivf_topk gate checks against the DuckDB oracle)."""
+    from deduplicate_text_datasets_spark.operators.ann import ivf_topk
+
+    df, _ = emb
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in cosine_topk(df, queries, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ivf_topk(df, queries, dim=16, k=5, nlist=8, nprobe=8).collect()
+    }
+    assert ivf == exact
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """8 gaussian blobs — the embedding-space shape IVF exists for."""
+    rng = np.random.RandomState(321)
+    centers = rng.standard_normal((8, 16)) * 4.0
+    vecs = np.vstack(
+        [centers[i % 8] + rng.standard_normal(16) * 0.3 for i in range(400)]
+    ).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df.cache().count()
+    return df, vecs
+
+
+def test_ivf_partial_probe_recall(spark, clustered_emb):
+    """On blob-structured data, probing 2 of 8 lists must keep recall@5
+    high: a query's true neighbors live in its own blob, and the trained
+    centroids align with the blobs (the data-dependence LSH lacks)."""
+    from deduplicate_text_datasets_spark.operators.ann import ivf_topk
+
+    df, vecs = clustered_emb
+    qids = [0, 7, 33, 150]
+    queries = df.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {}
+    for r in ivf_topk(df, queries, dim=16, k=5, nlist=8, nprobe=2).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for q in qids:
+        sims = sorted(
+            ((-_cos(vecs[q], vecs[j]), j) for j in range(400) if j != q)
+        )[:5]
+        truth = {j for _, j in sims}
+        hits += len(truth & got.get(q, set()))
+        total += len(truth)
+    assert hits / total >= 0.9, f"recall@5 {hits}/{total}"
+
+
+def test_ivf_index_roundtrip(spark, emb, tmp_path):
+    """build_ivf_index + ivf_topk_indexed answers identically to the
+    in-session path at the same config (build-once/query-many parity,
+    same contract as operators/sa_index)."""
+    from deduplicate_text_datasets_spark.operators.ann import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    df, _ = emb
+    path = str(tmp_path / "ivf")
+    build_ivf_index(df, path, dim=16, nlist=8)
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    live = {
+        tuple(r)
+        for r in ivf_topk(df, queries, dim=16, k=5, nlist=8, nprobe=3).collect()
+    }
+    stored = {
+        tuple(r)
+        for r in ivf_topk_indexed(spark, path, queries, k=5, nprobe=3).collect()
+    }
+    assert stored == live
+
+
+def test_ivf_centroids_deterministic_and_reseeded(spark):
+    """Training is deterministic under any input partitioning (hash-based
+    sample, seeded init), and empty clusters reseed instead of dying: 120
+    copies of 3 distinct vectors with nlist=8 leaves >=5 lists empty every
+    Lloyd round."""
+    from deduplicate_text_datasets_spark.operators.ann import train_centroids
+
+    rng = np.random.RandomState(9)
+    base = rng.standard_normal((3, 16))
+    rows = [
+        (i, [float(x) for x in base[i % 3]]) for i in range(120)
+    ]
+    df1 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df2 = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(7)
+    c1 = train_centroids(df1, 16, 8)
+    c2 = train_centroids(df2, 16, 8)
+    assert np.array_equal(c1, c2)
+    assert np.all(np.isfinite(c1))
+    norms = np.linalg.norm(c1, axis=1)
+    assert np.allclose(norms[norms > 0], 1.0)
+
+
+def test_repetition_stats_planted(spark):
+    """Gopher repetition signals vs hand-computed values: a doc made of one
+    line repeated 4x (dup_line 3/4), a heavily repeated trigram, a doc with
+    no repetition, and a doc too short to have any trigram."""
+    from deduplicate_text_datasets_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    rows = [
+        (0, "spam line\nspam line\nspam line\nspam line"),
+        # tokens: buy now buy now buy now -> trigrams: 'buy now buy',
+        # 'now buy now', 'buy now buy', 'now buy now' (each twice, 11 ch)
+        (1, "buy now buy now buy now."),
+        (2, "every word here is fully distinct prose"),
+        (3, "two words"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    assert got[0]["dup_line_ppm"] == (1_000_000 * 3) // 4
+    # doc 1: 6 tokens -> 4 trigrams, all duplicated, each 11 chars
+    assert got[1]["dup_ngram_ppm"] == 1_000_000
+    assert got[1]["top_ngram_ppm"] == (1_000_000 * 22) // 44
+    assert got[2]["dup_ngram_ppm"] == 0
+    assert got[2]["dup_line_ppm"] == 0
+    # < n tokens: no grams at all -> all gram stats 0
+    assert got[3]["top_ngram_ppm"] == 0
+    assert got[3]["dup_ngram_ppm"] == 0
+    assert got[4]["dup_line_ppm"] == 0
+    assert set(got) == {0, 1, 2, 3, 4}
