@@ -343,3 +343,111 @@ def contamination_report(
             ).alias("contaminated_frac"),
         )
     )
+
+
+@dataclass(frozen=True)
+class TrainingDataResult:
+    """Outputs of prepare_training_data. All frames are lazy; evaluate
+    inside the caller's cache_scope."""
+
+    kept_docs: DataFrame  # (doc_id, url, text) — final training corpus
+    clusters: DataFrame  # NearDup assignment over the filtered docs
+    remove_ranges: DataFrame  # ExactSubstr global byte ranges removed
+    filter_flags: DataFrame  # per-doc policy flags (every input doc)
+    stage_counts: DataFrame  # (stage, rows) lineage summary, one job
+
+
+def prepare_training_data(
+    docs: DataFrame,
+    cfg: EngineConfig,
+    store: StageStore | None = None,
+    lang: str = "en",
+    min_quality_ppm: int = 750_000,
+    max_dup_ngram_ppm: int = 500_000,
+) -> TrainingDataResult:
+    """The full production run a reference user performs end to end
+    (README.md:10 C4 context + run_pipeline.sh + the NearDup release),
+    as ONE checkpointed Spark job graph:
+
+      1. policy filter — language ID, quality score, Gopher repetition
+         signals (operators/textstats), all pure Catalyst;
+      2. NearDup — MinHash/LSH ∪ exact-dup edges -> connected components;
+         only cluster minima survive (Lee et al. 2021 NearDup release
+         semantics, README.md:367-376);
+      3. ExactSubstr — suffix-window self-similar spans above
+         cfg.exact.length_threshold struck out of the survivors
+         (run_pipeline.sh stages 2-4 + finish_dedup strike).
+
+    Stages checkpoint through ``store`` (per-partition lineage + counters,
+    plans/checkpoints.py) so a failed run resumes mid-pipeline — the
+    north_rule resumability contract; pass store=None for a fully lazy
+    single-session plan. URL canonicalization and HTML text extraction
+    (operators/webpages, functions/html) sit upstream of this driver when
+    ingesting raw crawl pages; this driver starts at the canonical
+    ``documents`` table of BASELINE.json's input_hint.
+
+    stage_counts evaluates every stage frame once (one action) and is the
+    operational check the reference does by hand with file sizes
+    (make_suffix_array.py:59-86 verify loop).
+    """
+    from ..operators.textstats import lang_id, quality_score, repetition_stats
+
+    flags_plan = (
+        docs.select("doc_id")
+        .join(lang_id(docs).select("doc_id", "lang_pred"), "doc_id")
+        .join(quality_score(docs).select("doc_id", "quality"), "doc_id")
+        .join(
+            repetition_stats(docs).select("doc_id", "dup_ngram_ppm"), "doc_id"
+        )
+        .select(
+            "doc_id",
+            (F.col("lang_pred") == lang).alias("lang_ok"),
+            (F.col("quality") * 1_000_000 >= min_quality_ppm).alias(
+                "quality_ok"
+            ),
+            (F.col("dup_ngram_ppm") <= max_dup_ngram_ppm).alias(
+                "repetition_ok"
+            ),
+        )
+        .withColumn(
+            "policy_ok",
+            F.col("lang_ok") & F.col("quality_ok") & F.col("repetition_ok"),
+        )
+    )
+
+    flags = (
+        store.stage("policy_flags", lambda: flags_plan) if store else flags_plan
+    )
+    filtered = docs.join(
+        flags.filter(F.col("policy_ok")).select("doc_id"), "doc_id"
+    )
+
+    clusters = neardup_clusters(filtered, cfg, store=store)
+    kept = filtered.join(
+        clusters.filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+
+    ranges, deduped = exactsubstr_dedup(kept, cfg, store=store)
+    kept_docs = deduped.select(
+        "doc_id", "url", F.col("deduped").alias("text")
+    )
+
+    def labeled_count(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"), F.count(F.lit(1)).alias("rows")
+        )
+
+    stage_counts = (
+        labeled_count("input_docs", docs)
+        .unionByName(labeled_count("policy_kept", filtered))
+        .unionByName(labeled_count("neardup_kept", kept))
+        .unionByName(labeled_count("remove_ranges", ranges))
+        .unionByName(labeled_count("final_docs", kept_docs))
+    )
+    return TrainingDataResult(
+        kept_docs=kept_docs,
+        clusters=clusters,
+        remove_ranges=ranges,
+        filter_flags=flags,
+        stage_counts=stage_counts,
+    )
