@@ -401,6 +401,48 @@ def _q_clean_corpus(spark, sf_dir):
     )
 
 
+# paragraph-dedup gate: the driver documents table is single-line, so a
+# paragraph-structured corpus is derived deterministically on BOTH sides —
+# a cross-doc boilerplate line on every doc, a subscribe line on every 3rd,
+# a within-doc full-text repeat on every 5th, and a preserved empty line on
+# every 7th. Constants shared by the Spark query and the DuckDB oracle.
+_PARA_SUB = "subscribe to our newsletter for weekly updates"
+_PARA_CPY = "copyright example corp all rights reserved"
+
+
+def _q_paragraph_dedup(spark, sf_dir):
+    """Paragraph-tier exact dedup (operators/paragraphs) — the RefinedWeb/
+    MassiveText line-dedup stage the reference's README motivates
+    (boilerplate removal, README.md:10-16) but only ships byte-span
+    machinery for. First occurrence by (doc_id, idx) wins globally;
+    paragraphs under DEFAULT_MIN_CHARS are exempt (the planted empty line
+    must survive)."""
+    from deduplicate_text_datasets_spark.operators.paragraphs import (
+        paragraph_dedup,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ptext = F.concat_ws(
+        "\n",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_PARA_SUB)),
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0, F.col("text")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("")),
+        F.lit(_PARA_CPY),
+    )
+    return paragraph_dedup(docs.select("doc_id", ptext.alias("text")))
+
+
+def _q_domain_stats(spark, sf_dir):
+    """Per-host rollup (operators/webpages.domain_stats): doc counts,
+    exact-dup-farm population (keep=False members of exact_duplicates
+    groups) and text bytes per host, host extracted with the shared
+    RE_HOST regex from the synthesized canonical URL."""
+    from deduplicate_text_datasets_spark.operators.webpages import domain_stats
+
+    return domain_stats(_docs(spark, sf_dir))
+
+
 def _q_canonical_pages(spark, sf_dir):
     """Crawl-log canonicalization (input_hint web-pages shape): a
     deterministic crawl log is derived from the documents table — each doc
@@ -635,6 +677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_pages": _q_canonical_pages,
         "page_text_extract": _q_page_text_extract,
         "clean_corpus": _q_clean_corpus,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "domain_stats": _q_domain_stats,
         "neardup_clusters": _q_neardup_clusters,
         "minhash_signatures": _q_minhash_signatures,
         "simhash_pairs": _q_simhash_pairs,
@@ -673,6 +717,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from deduplicate_text_datasets_spark.functions.url import (
         normalize_url_sql as _norm_url_sql,
+        url_host_sql as _host_sql,
     )
 
     # Overlap-aware substring counting (reference semantics: "aaaa" contains
@@ -1044,6 +1089,61 @@ SELECT query_id, rank, neighbor_id FROM (
         # Same deterministic crawl log as _q_canonical_pages; the URL
         # normalization SQL is generated from the SAME regex constants the
         # Spark Column uses (functions/url.py — single source of truth).
+        # paragraph corpus derivation mirrored from _q_paragraph_dedup
+        # (concat_ws skips NULL CASE arms but keeps the '' arm on both
+        # engines); winner election is first (doc_id, idx) per exact
+        # paragraph text, paragraphs under 20 chars exempt — the same
+        # policy as operators/paragraphs.DEFAULT_MIN_CHARS
+        "paragraph_dedup": f"""
+WITH pdocs AS (
+  SELECT doc_id, concat_ws(chr(10),
+      CASE WHEN doc_id % 3 = 0 THEN '{_PARA_SUB}' END,
+      text,
+      CASE WHEN doc_id % 5 = 0 THEN text END,
+      CASE WHEN doc_id % 7 = 0 THEN '' END,
+      '{_PARA_CPY}') AS text
+  FROM documents
+), s AS (
+  SELECT doc_id, string_split(text, chr(10)) AS arr FROM pdocs
+), p AS (
+  SELECT doc_id, i - 1 AS idx, arr[i] AS para
+  FROM s, UNNEST(generate_series(1, len(arr))) AS t(i)
+), e AS (
+  SELECT doc_id, idx,
+         ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+  FROM p WHERE length(para) >= 20
+), d AS (
+  SELECT doc_id, list(idx ORDER BY idx) AS dropped
+  FROM e WHERE rn > 1 GROUP BY doc_id
+)
+SELECT s.doc_id,
+  coalesce(array_to_string([arr[i] FOR i IN generate_series(1, len(arr))
+      IF NOT list_contains(coalesce(dropped, []), i - 1)], chr(10)), '')
+      AS deduped,
+  CAST(len(arr) AS BIGINT) AS n_paras,
+  CAST(len(arr) - len(coalesce(dropped, [])) AS BIGINT) AS kept_paras
+FROM s LEFT JOIN d USING (doc_id)""",
+        # url derivation mirrored from sources/documents.read_documents'
+        # driver-test-shape synthesizer; host via the shared RE_HOST
+        "domain_stats": f"""
+WITH pages AS (
+  SELECT doc_id,
+         {_host_sql("'https://' || source || '.example/page' || doc_id")}
+             AS host,
+         strlen(text) AS bytes,
+         md5(text) AS h
+  FROM documents
+), g AS (
+  SELECT h, MIN(doc_id) AS keeper FROM pages GROUP BY h
+)
+SELECT host,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT)
+      AS dup_docs,
+  CAST((1000000 * SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END))
+      // COUNT(*) AS BIGINT) AS dup_ppm,
+  CAST(SUM(bytes) AS BIGINT) AS total_bytes
+FROM pages JOIN g USING (h) GROUP BY host""",
         "canonical_pages": f"""
 WITH crawls AS (
   SELECT doc_id, source,

@@ -47,6 +47,10 @@ RE_DANGLING = "[?&]+$"
 RE_SCHEME_HOST = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
 # rule 5: trailing slash(es)
 RE_TRAILING_SLASH = "/+$"
+# host extraction: authority minus userinfo/port (group 1). Shared by
+# Spark and the DuckDB oracle like the rules above; '' when no match on
+# BOTH engines (regexp_extract's no-match contract agrees).
+RE_HOST = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
 
 
 def normalize_url(url: Column | str) -> Column:
@@ -60,6 +64,17 @@ def normalize_url(url: Column | str) -> Column:
         F.regexp_replace(u, RE_SCHEME_HOST, ""),
     )
     return F.regexp_replace(u, RE_TRAILING_SLASH, "")
+
+
+def url_host(url: Column | str) -> Column:
+    """Spark Column: lowercased registered host of ``url`` ('' if none)."""
+    u = F.col(url) if isinstance(url, str) else url
+    return F.lower(F.regexp_extract(u, RE_HOST, 1))
+
+
+def url_host_sql(expr: str) -> str:
+    """The SAME host extraction as a DuckDB SQL expression."""
+    return f"lower(regexp_extract({expr}, '{RE_HOST}', 1))"
 
 
 def normalize_url_sql(expr: str) -> str:

@@ -58,3 +58,61 @@ def canonical_pages(
         F.max("ts_secs").alias("latest_ts_secs"),
         F.max_by("doc_id", "ts_secs").alias("latest_doc_id"),
     )
+
+
+def domain_stats(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-host corpus observability: the frame a crawl-curation pass reads
+    before deciding per-domain policy (blocklists, per-domain caps, dup-farm
+    detection — the C4/RefinedWeb pipelines all gate on host-level signals
+    the reference computes offline).
+
+    Returns one row per host:
+      host            lowercased registered host ('' when the URL has none)
+      n_docs          documents under the host
+      dup_docs        docs whose full text also appears elsewhere in the
+                      corpus AND that are not their group's keeper (the
+                      exact_duplicates keep=False population) — a host
+                      where this is high is a mirror/dup farm
+      dup_ppm         (1e6 * dup_docs) DIV n_docs, integer ppm
+      total_bytes     UTF-8 text bytes under the host
+
+    Scale shape: exact-dup flags come from the md5 groupBy of
+    operators/exact (text never shuffles); the host rollup is one
+    groupBy(host) whose sums/counts combine map-side, so a hot host
+    (wikipedia.org at web scale) costs one partial row per mapper, not a
+    skewed reducer.
+    """
+    from ..functions.url import url_host
+    from .exact import exact_duplicates
+
+    flags = exact_duplicates(docs, text_col).select(
+        id_col, (~F.col("keep")).cast("long").alias("_dup")
+    )
+    base = docs.select(
+        F.col(id_col),
+        url_host(url_col).alias("host"),
+        F.octet_length(F.col(text_col)).cast("long").alias("_bytes"),
+    )
+    return (
+        base.join(flags, id_col)
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_dup").alias("dup_docs"),
+            F.sum("_bytes").alias("total_bytes"),
+        )
+        .select(
+            "host",
+            "n_docs",
+            "dup_docs",
+            F.expr("CAST((1000000 * dup_docs) DIV n_docs AS BIGINT)").alias(
+                "dup_ppm"
+            ),
+            "total_bytes",
+        )
+    )

@@ -133,6 +133,21 @@ def main() -> None:
         "cast(null as map<string,string>) as meta",
     )
     audit("exact_media_duplicates", exact_media_duplicates(media))
+    from deduplicate_text_datasets_spark.operators.paragraphs import (
+        paragraph_dedup,
+        repeated_paragraphs,
+    )
+    from deduplicate_text_datasets_spark.operators.webpages import domain_stats
+
+    audit("paragraph_dedup", paragraph_dedup(docs))
+    audit("repeated_paragraphs", repeated_paragraphs(docs))
+    audit("domain_stats", domain_stats(docs))
+    from deduplicate_text_datasets_spark.operators.ann import ivf_topk
+
+    audit(
+        "ivf_topk (broadcast probes)",
+        ivf_topk(emb, queries, dim=64, k=10, nlist=8, nprobe=2),
+    )
     print("explain audit: all structural assertions passed")
     spark.stop()
 

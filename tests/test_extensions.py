@@ -363,3 +363,92 @@ def test_repetition_stats_planted(spark):
     assert got[3]["dup_ngram_ppm"] == 0
     assert got[4]["dup_line_ppm"] == 0
     assert set(got) == {0, 1, 2, 3, 4}
+
+
+# --- paragraph-tier dedup (operators/paragraphs) ----------------------------
+
+
+def test_paragraph_dedup_planted(spark):
+    """Hand-computed: the boilerplate line survives only at its globally
+    first (doc_id, idx); within-doc repeats drop; short lines and empty
+    lines are exempt; a doc made entirely of dropped paragraphs comes back
+    empty but is still a row."""
+    from deduplicate_text_datasets_spark.operators.paragraphs import (
+        paragraph_dedup,
+    )
+
+    boiler = "subscribe to our newsletter today"  # 33 chars, dedup-eligible
+    body0 = "the first unique body paragraph of document zero"
+    body1 = "a different unique body paragraph for document one"
+    rows = [
+        (0, f"{boiler}\n{body0}\n\nok\n{body0}"),  # self-repeat of body0
+        (1, f"{boiler}\n{body1}"),
+        (2, boiler),  # whole doc is one dropped paragraph
+        (3, "ok"),  # short line repeated across docs: exempt
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in paragraph_dedup(df).collect()}
+    assert got[0]["deduped"] == f"{boiler}\n{body0}\n\nok"
+    assert got[0]["n_paras"] == 5 and got[0]["kept_paras"] == 4
+    assert got[1]["deduped"] == body1
+    assert got[2]["deduped"] == "" and got[2]["kept_paras"] == 0
+    assert got[3]["deduped"] == "ok"
+    assert set(got) == {0, 1, 2, 3}
+
+
+def test_paragraph_dedup_first_wins_any_partitioning(spark):
+    """The winner is min(doc_id, idx) under any input partitioning."""
+    from deduplicate_text_datasets_spark.operators.paragraphs import (
+        paragraph_dedup,
+    )
+
+    para = "this exact paragraph appears in every single document here"
+    rows = [(i, f"unique lead paragraph number {i} padded out\n{para}")
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for frame in (df, df.repartition(7), df.orderBy(F.desc("doc_id"))):
+        got = {r["doc_id"]: r["deduped"] for r in paragraph_dedup(frame).collect()}
+        assert para in got[0]
+        assert all(para not in got[i] for i in range(1, 20))
+
+
+def test_repeated_paragraphs_census(spark):
+    from deduplicate_text_datasets_spark.operators.paragraphs import (
+        repeated_paragraphs,
+    )
+
+    para = "a boilerplate paragraph that repeats in two documents"
+    rows = [
+        (0, f"{para}\nsomething unique in zero goes right here"),
+        (1, f"lead one is unique and long enough here\n{para}\n{para}"),
+        (2, "entirely unique paragraph for document two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = repeated_paragraphs(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_occurrences"] == 3 and r["n_docs"] == 2
+    assert (r["first_doc_id"], r["first_idx"]) == (0, 0)
+    assert r["chars"] == len(para)
+
+
+def test_domain_stats_planted(spark):
+    from deduplicate_text_datasets_spark.operators.webpages import domain_stats
+
+    rows = [
+        (0, "https://a.example/x", "same text body"),
+        (1, "https://a.example/y", "same text body"),  # dup, not keeper
+        (2, "https://user:pw@A.EXAMPLE:8080/z", "unique text one"),  # host normalized
+        (3, "https://b.example/q", "same text body"),  # dup under b
+        (4, "not a url at all", "unique text two"),  # '' host bucket
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    got = {r["host"]: r.asDict() for r in domain_stats(df).collect()}
+    assert got["a.example"]["n_docs"] == 3
+    assert got["a.example"]["dup_docs"] == 1  # doc 1 only; doc 0 is keeper
+    assert got["a.example"]["dup_ppm"] == 333_333
+    assert got["b.example"]["dup_docs"] == 1
+    assert got[""]["n_docs"] == 1 and got[""]["dup_docs"] == 0
+    assert got["a.example"]["total_bytes"] == sum(
+        len(t) for _, u, t in rows if "a.example" in u.lower()
+    )
