@@ -341,6 +341,22 @@ def _q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) keep decision per embedding, run at
+    nlist=1 — the single-cluster configuration where within-cluster
+    all-pairs IS exact all-pairs, so the whole chain (spherical k-means
+    assign -> eps-pairs -> connected components -> keep) is checkable
+    against a DuckDB all-pairs + recursive-CC oracle. The clustered
+    (approximate) regime and the paper's centroid-outlier keep policy are
+    pytest-covered (tests/test_extensions.py::test_semantic_dedup_*)."""
+    from deduplicate_text_datasets_spark.operators.semdedup import (
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb, dim=64, eps=0.5, nlist=1, keep="min_id")
+
+
 def _q_page_text_extract(spark, sf_dir):
     """HTML->text extraction invariant (input_hint: 'byte-identical
     extracted text per url'). A deterministic html payload is derived from
@@ -679,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": _q_clean_corpus,
         "paragraph_dedup": _q_paragraph_dedup,
         "domain_stats": _q_domain_stats,
+        "semantic_dedup": _q_semantic_dedup,
         "neardup_clusters": _q_neardup_clusters,
         "minhash_signatures": _q_minhash_signatures,
         "simhash_pairs": _q_simhash_pairs,
@@ -1064,6 +1081,29 @@ SELECT query_id, rank, neighbor_id FROM (
                             ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored
 ) WHERE rank <= 10""",
+        # nlist=1 makes SemDeDup exact: all-pairs cosine >= eps edges,
+        # recursive-CTE connected components (the cc_clusters oracle
+        # pattern), keep = group-min vec_id; singletons via left join
+        "semantic_dedup": """
+WITH RECURSIVE u AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), p AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM u x JOIN u y ON x.vec_id < y.vec_id
+  WHERE list_dot_product(x.e, y.e) /
+        (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e)))
+        >= 0.5
+), sym AS (
+  SELECT a, b FROM p UNION SELECT b, a FROM p
+), reach(n, m) AS (
+  SELECT a, b FROM sym UNION SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+), comp AS (
+  SELECT n AS vec_id, LEAST(n, MIN(m)) AS component FROM reach GROUP BY n
+)
+SELECT u.vec_id,
+       COALESCE(comp.component, u.vec_id) AS component,
+       u.vec_id = COALESCE(comp.component, u.vec_id) AS keep
+FROM u LEFT JOIN comp ON comp.vec_id = u.vec_id""",
         # nprobe == nlist probes every inverted list, so the IVF result is
         # definitionally the exact brute-force top-k — same oracle as
         # ann_topk (what the gate checks is the train/assign/probe/score

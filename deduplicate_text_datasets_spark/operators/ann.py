@@ -332,6 +332,10 @@ IVF_ASSIGN_SCHEMA = T.StructType(
         T.StructField("vec_id", T.LongType(), False),
         T.StructField("list_id", T.IntegerType(), False),
         T.StructField("unit", T.ArrayType(T.DoubleType()), False),
+        # cosine to the assigned centroid — free at assignment time (the
+        # argmax already computed every similarity) and what SemDeDup's
+        # keep-the-outlier policy ranks by (operators/semdedup)
+        T.StructField("csim", T.DoubleType(), False),
     ]
 )
 
@@ -421,12 +425,14 @@ def ivf_assign(
             if len(pdf) == 0:
                 continue
             m = _unit_rows(pdf, vec_col)
-            lists = (m @ cent_t).argmax(axis=1)
+            sims = m @ cent_t
+            lists = sims.argmax(axis=1)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
                     "list_id": lists.astype(np.int32),
                     "unit": list(m),
+                    "csim": sims[np.arange(len(lists)), lists],
                 }
             )
 

@@ -148,6 +148,9 @@ def main() -> None:
         "ivf_topk (broadcast probes)",
         ivf_topk(emb, queries, dim=64, k=10, nlist=8, nprobe=2),
     )
+    from deduplicate_text_datasets_spark.operators.semdedup import semantic_dedup
+
+    audit("semantic_dedup (nlist=8)", semantic_dedup(emb, dim=64, eps=0.9, nlist=8))
     print("explain audit: all structural assertions passed")
     spark.stop()
 

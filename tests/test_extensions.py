@@ -452,3 +452,128 @@ def test_domain_stats_planted(spark):
     assert got["a.example"]["total_bytes"] == sum(
         len(t) for _, u, t in rows if "a.example" in u.lower()
     )
+
+
+# --- SemDeDup (operators/semdedup) ------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sem_emb(spark):
+    """3 planted near-dup groups (ids 0-2, 10-11, 20-22) + 5 singletons,
+    in two well-separated regions so k-means cannot split a dup group."""
+    rng = np.random.RandomState(77)
+    base_a = rng.standard_normal(16) * 3 + 10.0
+    base_b = rng.standard_normal(16) * 3 - 10.0
+    rows = []
+
+    def put(vid, center, jitter):
+        rows.append((vid, [float(x) for x in center + jitter]))
+
+    for vid in (0, 1, 2):
+        put(vid, base_a, rng.standard_normal(16) * 1e-3)
+    for vid in (10, 11):
+        put(vid, base_b, rng.standard_normal(16) * 1e-3)
+    for vid in (20, 21, 22):
+        put(vid, base_a * -1.0, rng.standard_normal(16) * 1e-3)
+    for i, vid in enumerate((30, 31, 40, 41, 42)):
+        center = base_a if i % 2 == 0 else base_b
+        # orthogonal-ish jitter large enough to stay below eps
+        put(vid, center * 0.1, rng.standard_normal(16) * 8.0)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df.cache().count()
+    return df
+
+
+def test_semantic_dedup_exact_groups(spark, sem_emb):
+    from deduplicate_text_datasets_spark.operators.semdedup import semantic_dedup
+
+    got = {
+        r["vec_id"]: r.asDict()
+        for r in semantic_dedup(sem_emb, dim=16, eps=0.999, nlist=1).collect()
+    }
+    assert len(got) == 13
+    for group, keeper in (((0, 1, 2), 0), ((10, 11), 10), ((20, 21, 22), 20)):
+        for vid in group:
+            assert got[vid]["component"] == keeper
+            assert got[vid]["keep"] == (vid == keeper)
+    for vid in (30, 31, 40, 41, 42):
+        assert got[vid]["component"] == vid and got[vid]["keep"]
+
+
+def test_semantic_dedup_clustered_matches_exact(spark, sem_emb):
+    """nlist=4 on well-separated groups: same components as nlist=1 exact
+    (no dup group straddles a k-means boundary in this fixture)."""
+    from deduplicate_text_datasets_spark.operators.semdedup import semantic_dedup
+
+    exact = {
+        (r["vec_id"], r["component"], r["keep"])
+        for r in semantic_dedup(sem_emb, dim=16, eps=0.999, nlist=1).collect()
+    }
+    clustered = {
+        (r["vec_id"], r["component"], r["keep"])
+        for r in semantic_dedup(sem_emb, dim=16, eps=0.999, nlist=4).collect()
+    }
+    assert clustered == exact
+
+
+def test_semantic_dedup_centroid_outlier_policy(spark):
+    """The paper's keep policy: the group member FURTHEST from its cluster
+    centroid survives. One tight group of 3 where vec 2 is pulled away
+    from the group's own mean direction — csim(2) < csim(0) < csim(1) by
+    construction, so 2 is the keeper."""
+    from deduplicate_text_datasets_spark.operators.semdedup import semantic_dedup
+
+    base = np.zeros(8)
+    base[0] = 1.0
+    tilt = np.zeros(8)
+    tilt[1] = 1.0
+    rows = [
+        (0, [float(x) for x in base + 0.010 * tilt]),
+        (1, [float(x) for x in base + 0.012 * tilt]),
+        (2, [float(x) for x in base - 0.060 * tilt]),  # other side, farther
+        (9, [float(x) for x in tilt * 5.0]),  # singleton keeps itself
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r.asDict()
+        for r in semantic_dedup(
+            df, dim=8, eps=0.99, nlist=1, keep="centroid_outlier"
+        ).collect()
+    }
+    assert got[0]["component"] == got[1]["component"] == got[2]["component"] == 0
+    assert [v for v in (0, 1, 2) if got[v]["keep"]] == [2]
+    assert got[9]["keep"]
+
+
+def test_semantic_dup_pairs_salted_parity(spark, sem_emb):
+    """Forcing every cluster through the grid-salted overflow path yields
+    the identical pair set."""
+    from deduplicate_text_datasets_spark.operators.ann import (
+        ivf_assign,
+        train_centroids,
+    )
+    from deduplicate_text_datasets_spark.operators.semdedup import (
+        semantic_dup_pairs,
+    )
+
+    cents = train_centroids(sem_emb, 16, 1)
+    assigned = ivf_assign(sem_emb, cents).cache()
+    plain = {
+        (r["a"], r["b"])
+        for r in semantic_dup_pairs(assigned, eps=0.999).collect()
+    }
+    salted = {
+        (r["a"], r["b"])
+        for r in semantic_dup_pairs(
+            assigned, eps=0.999, max_cluster_size=3
+        ).collect()
+    }
+    assert plain and salted == plain
+    assigned.unpersist()
+
+
+def test_semantic_dedup_bad_keep_policy(spark, sem_emb):
+    from deduplicate_text_datasets_spark.operators.semdedup import semantic_dedup
+
+    with pytest.raises(ValueError, match="keep"):
+        semantic_dedup(sem_emb, dim=16, eps=0.9, keep="greedy")
