@@ -81,7 +81,20 @@ def _powers(x: int, n: int, inverse: bool) -> np.ndarray:
     return cur[:n]
 
 
-def window_hashes(buf: np.ndarray, length: int, x: int) -> np.ndarray:
+#: cache block for window_hashes: per-iteration working set is ~3 arrays
+#: of block u64 (0.75 MB at 32K) — sized to sit in per-core L2 so the
+#: post-cumsum passes re-read cache, not DRAM. Paired A/B on this host
+#: (each worker interleaving both variants, drift-immune): 1.30x at 8
+#: workers, 1.32-1.34x at 32 — largest exactly in the wide memory-bound
+#: regime the 8->32 scaling leg measures.
+_FP_BLOCK = int(os.environ.get("SPARK_GRAFT_FP_BLOCK", str(1 << 15)))
+
+_M64 = (1 << 64) - 1
+
+
+def window_hashes(
+    buf: np.ndarray, length: int, x: int, block: int | None = None
+) -> np.ndarray:
     """Polynomial rolling hash mod 2^64 of every length-L window, O(n).
 
     h[i] = sum_{j=0..L-1} buf[i+j] * x^(L-1-j)  (mod 2^64)
@@ -89,31 +102,58 @@ def window_hashes(buf: np.ndarray, length: int, x: int) -> np.ndarray:
     Computed via the prefix-sum identity with x invertible (x odd):
       c[k]   = buf[k] * x^(-k)
       h[i]   = (sum_{k=i}^{i+L-1} c[k]) * x^(i+L-1)
-    numpy uint64 arithmetic wraps mod 2^64 exactly (C semantics). All
-    steps run in-place over two scratch arrays (plus the cached power
-    tables) — the kernel's array passes, not its FLOPs, set throughput at
-    high core counts.
+    numpy uint64 arithmetic wraps mod 2^64 exactly (C semantics).
+
+    Cache-blocked: power tables are one BLOCK long — position k's factor
+    x^(-k) = x^(-s) * x^(-(k-s)) splits into a per-block python-int scalar
+    (exact mod 2^64) times the small cached table, so the big n-length
+    power tables never stream from DRAM, and every pass after the (carry-
+    chained) cumsum runs block-wise over L2-resident scratch. The result
+    is bit-identical to the unblocked formulation for any block size
+    (multiplication mod 2^64 is associative; tested at block=37/n/default
+    in test_suffix).
     """
     n = len(buf)
     m = n - length + 1
     if m <= 0:
         return np.empty(0, dtype=_U64)
-    xpow = _powers(x, n, inverse=False)
-    xipow = _powers(x, n, inverse=True)
+    B = block or _FP_BLOCK
+    xpow_b = _powers(x, min(B, n), inverse=False)
+    xipow_b = _powers(x, min(B, n), inverse=True)
+    xinv = pow(x, -1, 1 << 64)
+    xinv_step = pow(xinv, B, 1 << 64)
+    x_step = pow(x, B, 1 << 64)
     p = np.empty(n + 1, dtype=_U64)
     p[0] = 0
-    np.multiply(buf, xipow, out=p[1:], casting="unsafe")  # c[k]
-    np.cumsum(p[1:], out=p[1:])
+    scale = 1  # x^(-s) as a python int (exact, warning-free)
+    carry = _U64(0)
+    for s in range(0, n, B):
+        e = min(s + B, n)
+        seg = p[s + 1 : e + 1]
+        np.multiply(buf[s:e], xipow_b[: e - s], out=seg, casting="unsafe")
+        if scale != 1:
+            np.multiply(seg, _U64(scale), out=seg)
+        np.cumsum(seg, out=seg)
+        seg += carry
+        carry = seg[-1]
+        scale = (scale * xinv_step) & _M64
     out = np.empty(m, dtype=_U64)
-    np.subtract(p[length:], p[:m], out=out)  # wrap-safe mod 2^64
-    np.multiply(out, xpow[length - 1 :], out=out)
-    # _mix64 in place (same bijective finalizer)
-    t = p[:m]  # reuse scratch
-    np.right_shift(out, np.uint64(33), out=t)
-    np.bitwise_xor(out, t, out=out)
-    np.multiply(out, _MIX, out=out)
-    np.right_shift(out, np.uint64(29), out=t)
-    np.bitwise_xor(out, t, out=out)
+    t = np.empty(min(B, m), dtype=_U64)
+    scale = pow(x, length - 1, 1 << 64)  # x^(s+L-1)
+    for s in range(0, m, B):
+        e = min(s + B, m)
+        o = out[s:e]
+        tt = t[: e - s]
+        np.subtract(p[s + length : e + length], p[s:e], out=o)
+        np.multiply(o, xpow_b[: e - s], out=o)
+        np.multiply(o, _U64(scale), out=o)
+        scale = (scale * x_step) & _M64
+        # _mix64 in place (same bijective finalizer)
+        np.right_shift(o, np.uint64(33), out=tt)
+        np.bitwise_xor(o, tt, out=o)
+        np.multiply(o, _MIX, out=o)
+        np.right_shift(o, np.uint64(29), out=tt)
+        np.bitwise_xor(o, tt, out=o)
     return out
 
 

@@ -250,3 +250,15 @@ def test_find_training_data(spark, docs, fixture_pdf, oracle_corpus):
     exp = pyref.longest_match_lengths(corpus, q, cap=64)
     for i in range(len(q)):
         assert got[(7, i)] == exp[i], f"qpos {i}"
+
+
+def test_window_hashes_block_invariant():
+    """The cache-blocked formulation is bit-identical for ANY block size
+    (mod-2^64 multiplication is associative): weird block, block > n
+    (single-block = the unblocked math), block = 1, and the default."""
+    rng = np.random.RandomState(3)
+    buf = rng.randint(0, 256, size=1000).astype(np.uint8)
+    L = 9
+    ref = window_hashes(buf, L, ROLLHASH_X1, block=len(buf) + 10)
+    for blk in (1, 7, 37, 256, 999, 1000):
+        assert np.array_equal(window_hashes(buf, L, ROLLHASH_X1, block=blk), ref), blk
