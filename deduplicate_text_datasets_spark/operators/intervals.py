@@ -141,7 +141,17 @@ def _merge_sorted_partitions(
             }
         )
 
-    p = ranges.mapInPandas(local, merged_schema)
+    # Persist the locally-merged frame: it is TINY (one row per locally
+    # maximal range — ranges, not positions) but has FOUR consumers below
+    # (stats agg, stats join, fstats agg, fstats join). Unpersisted, each
+    # consumer re-executes the whole upstream lineage — including the
+    # full dup-position range exchange and, when the caller's input is
+    # itself unpersisted, everything above it. Measured at the 30k-doc
+    # stress profile: the same 229 MB position exchange was written 4x
+    # and re-read ~12x through here before this persist.
+    from ..plans.caching import scoped_persist
+
+    p = scoped_persist(ranges.mapInPandas(local, merged_schema))
     stats = p.groupBy("pid").agg(
         F.max("end").alias("_pmax"), F.sum(F.lit(1)).alias("_cnt")
     )

@@ -84,7 +84,16 @@ def apply_removals(
     text_is_binary = isinstance(
         docs_with_offsets.schema["text"].dataType, T.BinaryType
     )
-    spans = (
+    # Persist: the spans frame is small (affected docs only) but feeds TWO
+    # consumers — the splice join and the untouched anti-join. Beyond the
+    # obvious recompute cost (each consumer re-runs the interval join and
+    # the whole remove-ranges lineage above it), materializing it once
+    # makes the struck/untouched split consistent BY CONSTRUCTION: both
+    # branches read the same rows, so the output row count always equals
+    # the input doc count.
+    from ..plans.caching import scoped_persist
+
+    spans = scoped_persist(
         doc_spans(docs_with_offsets, remove_ranges, cfg)
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("a", "b"))).alias("spans"))

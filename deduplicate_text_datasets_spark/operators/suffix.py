@@ -254,17 +254,78 @@ def window_fingerprints(
     emit_rows = emit_rows or _EMIT_ROWS
 
     def fp_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # iterator form: the shard group streams IN in Arrow-sized batches
-        # (the kernel needs the whole shard buffer, so concat) and the
-        # position frame streams OUT in bounded slices (see _EMIT_ROWS)
-        pdf = pd.concat(list(batches), ignore_index=True)
-        yield from _emit_chunks(
-            _fingerprint_kernel(pdf, cfg, total, dup_keys_bc), emit_rows
-        )
+        # shards stream IN one complete group at a time (the kernel needs
+        # the whole shard buffer) and the position frame streams OUT in
+        # bounded slices (see _EMIT_ROWS)
+        for g in _iter_shard_groups(batches):
+            yield from _emit_chunks(
+                _fingerprint_kernel(g, cfg, total, dup_keys_bc), emit_rows
+            )
 
-    return shards.select("shard_id", "doc_id", "byte_start", "text").groupBy(
-        "shard_id"
-    ).applyInPandas(fp_kernel, FINGERPRINT_SCHEMA)
+    return _shards_one_per_task(shards, total, cfg.shard_bytes).mapInPandas(
+        fp_kernel, FINGERPRINT_SCHEMA
+    )
+
+
+def _shards_one_per_task(
+    shards: DataFrame, total: int, shard_bytes: int
+) -> DataFrame:
+    """Lay the exploded shard frame out ~one shard per task.
+
+    groupBy("shard_id").applyInPandas hash-partitions the shard keys, and
+    with FEW shards — a mid-size corpus at the production 64 MiB width,
+    e.g. the stress runs — distinct ids collide into one reducer
+    (measured at the 30k-doc profile: ONE task computed both 64 MiB
+    kernels serially and wrote the whole 2.36 GB fingerprint exchange).
+    Range-partitioning the dense integer shard_id into min(#shards,
+    shuffle.partitions) partitions gives ~one shard per task instead; at
+    web scale (#shards >> #partitions) both layouts pack many shards per
+    task and the exchanged bytes are identical, so this is never worse.
+    Rows are sorted by (shard_id, byte_start) within each partition so a
+    mapInPandas kernel can stream one complete shard at a time (see
+    _iter_shard_groups) holding one shard's rows in memory, exactly like
+    the groupBy form did.
+    """
+    n_shards = max(1, -(-total // shard_bytes))
+    try:
+        default_parts = int(
+            shards.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        default_parts = 200
+    n_parts = max(1, min(n_shards, default_parts))
+    return (
+        shards.select("shard_id", "doc_id", "byte_start", "text")
+        .repartitionByRange(n_parts, "shard_id")
+        .sortWithinPartitions("shard_id", "byte_start")
+    )
+
+
+def _iter_shard_groups(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """One pdf per shard_id from a stream of Arrow batches that is sorted
+    by shard_id within the partition. Holds at most one shard's rows —
+    the same peak memory as the applyInPandas group form."""
+    pend: list[pd.DataFrame] = []
+    cur: int | None = None
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        sids = pdf["shard_id"].to_numpy()
+        cut = np.nonzero(sids[1:] != sids[:-1])[0] + 1
+        edges = [0, *cut.tolist(), len(pdf)]
+        for i in range(len(edges) - 1):
+            seg = pdf.iloc[edges[i] : edges[i + 1]]
+            sid = int(sids[edges[i]])
+            if cur is None:
+                cur = sid
+            if sid != cur:
+                yield pd.concat(pend, ignore_index=True)
+                pend, cur = [], sid
+            pend.append(seg)
+    if pend:
+        yield pd.concat(pend, ignore_index=True)
 
 
 WINDOW_KEY_SCHEMA = T.StructType([T.StructField("k", T.LongType(), False)])
@@ -307,12 +368,12 @@ def window_keys(
     emit_rows = emit_rows or _EMIT_ROWS
 
     def key_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pdf = pd.concat(list(batches), ignore_index=True)
-        yield from _emit_chunks(_key_kernel(pdf, cfg, total), emit_rows)
+        for g in _iter_shard_groups(batches):
+            yield from _emit_chunks(_key_kernel(g, cfg, total), emit_rows)
 
-    return shards.select("shard_id", "doc_id", "byte_start", "text").groupBy(
-        "shard_id"
-    ).applyInPandas(key_kernel, WINDOW_KEY_SCHEMA)
+    return _shards_one_per_task(shards, total, cfg.shard_bytes).mapInPandas(
+        key_kernel, WINDOW_KEY_SCHEMA
+    )
 
 
 def find_duplicates(fingerprints: DataFrame, cfg: ExactSubstrConfig) -> DataFrame:

@@ -106,7 +106,12 @@ def exactsubstr_dedup(
     dups = store.stage("exactsubstr_dups", build_dups) if store else build_dups()
 
     def build_ranges() -> DataFrame:
-        return coalesce_positions(dups, cfg.exact.length_threshold)
+        # persisted: ranges is tiny but feeds the caller AND the strike
+        # stage (interval join + anti-join) — unpersisted, every consumer
+        # re-executed the coalesce chain from the dup-position exchange up
+        return scoped_persist(
+            coalesce_positions(dups, cfg.exact.length_threshold)
+        )
 
     ranges = (
         store.stage("remove_ranges", build_ranges, upstream=["exactsubstr_dups"])
