@@ -262,8 +262,32 @@ def window_fingerprints(
                 _fingerprint_kernel(g, cfg, total, dup_keys_bc), emit_rows
             )
 
-    return _shards_one_per_task(shards, total, cfg.shard_bytes).mapInPandas(
-        fp_kernel, FINGERPRINT_SCHEMA
+    return _apply_shard_kernel(shards, total, cfg.shard_bytes, fp_kernel,
+                               FINGERPRINT_SCHEMA)
+
+
+def _apply_shard_kernel(
+    shards: DataFrame,
+    total: int,
+    shard_bytes: int,
+    kernel,
+    schema: T.StructType,
+) -> DataFrame:
+    """Run a per-shard iterator kernel under the configured layout.
+
+    Default (`range`): `_shards_one_per_task` — explicit range layout so
+    few-shard corpora (production 64 MiB widths) get one shard per task
+    instead of hash-colliding onto one reducer. Its cost is the range
+    partitioner's sampling job, one extra pass over the (cheap, cached)
+    shard projection. `SPARK_GRAFT_SHARD_LAYOUT=groupby` keeps the legacy
+    hash-groupBy layout for A/B runs; the SAME kernel serves both because
+    `_iter_shard_groups` degenerates to one group under groupBy.
+    """
+    proj = shards.select("shard_id", "doc_id", "byte_start", "text")
+    if os.environ.get("SPARK_GRAFT_SHARD_LAYOUT", "range") == "groupby":
+        return proj.groupBy("shard_id").applyInPandas(kernel, schema)
+    return _shards_one_per_task(proj, total, shard_bytes).mapInPandas(
+        kernel, schema
     )
 
 
@@ -294,10 +318,8 @@ def _shards_one_per_task(
     except (TypeError, ValueError):
         default_parts = 200
     n_parts = max(1, min(n_shards, default_parts))
-    return (
-        shards.select("shard_id", "doc_id", "byte_start", "text")
-        .repartitionByRange(n_parts, "shard_id")
-        .sortWithinPartitions("shard_id", "byte_start")
+    return shards.repartitionByRange(n_parts, "shard_id").sortWithinPartitions(
+        "shard_id", "byte_start"
     )
 
 
@@ -371,9 +393,8 @@ def window_keys(
         for g in _iter_shard_groups(batches):
             yield from _emit_chunks(_key_kernel(g, cfg, total), emit_rows)
 
-    return _shards_one_per_task(shards, total, cfg.shard_bytes).mapInPandas(
-        key_kernel, WINDOW_KEY_SCHEMA
-    )
+    return _apply_shard_kernel(shards, total, cfg.shard_bytes, key_kernel,
+                               WINDOW_KEY_SCHEMA)
 
 
 def find_duplicates(fingerprints: DataFrame, cfg: ExactSubstrConfig) -> DataFrame:
