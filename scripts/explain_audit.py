@@ -35,6 +35,33 @@ def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def codegen_spans_of(df) -> int:
+    """Count WholeStageCodegen subtrees for ``df``'s logical plan.
+
+    Under AQE the pre-execution ``executedPlan`` is an ``AdaptiveSparkPlan
+    isFinalPlan=false`` whose codegen stages are only inserted when each
+    query stage materializes, so grepping it (or ``explain('codegen')``)
+    always reports 0 — a display artifact, not absent codegen. Re-plan the
+    SAME logical plan with AQE off (fresh Dataset -> fresh QueryExecution
+    honoring the session conf at access time) and read the static count;
+    AQE only re-plans shuffles at runtime, it does not change which
+    operators support codegen.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        replanned = df.select("*")
+        mode = spark.sparkContext._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "codegen"
+        )
+        s = replanned._jdf.queryExecution().explainString(mode)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", s)
+    return int(m.group(1)) if m else 0
+
+
 def audit(name: str, df, allow_cartesian: bool = False) -> None:
     p = plan_of(df)
     exchanges = len(re.findall(r"Exchange (hash|range)partitioning", p))
@@ -71,7 +98,7 @@ def audit(name: str, df, allow_cartesian: bool = False) -> None:
     ]
     cartesian = "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p
     pushed = re.findall(r"PushedFilters: \[[^\]]*\]", p)
-    codegen = len(re.findall(r"WholeStageCodegen", p))
+    codegen = codegen_spans_of(df)
     print(
         f"{name:28s} exchanges={exchanges:2d} codegen_spans={codegen:2d} "
         f"windows={len(windows)} cartesian={cartesian} "
@@ -86,6 +113,10 @@ def audit(name: str, df, allow_cartesian: bool = False) -> None:
     )
     if not allow_cartesian:
         assert not cartesian, f"{name}: unexpected cartesian/nested-loop join"
+    # Every audited plan keeps its JVM-side sections in whole-stage codegen
+    # (the scans/projections around any Arrow/Pandas stage still fuse). A
+    # zero here means an interpreted-only plan — a hot-path regression.
+    assert codegen >= 1, f"{name}: no WholeStageCodegen subtree in the plan"
 
 
 def main() -> None:
