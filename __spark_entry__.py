@@ -200,6 +200,18 @@ def _q_self_similar_positions(spark, sf_dir):
     )
 
 
+def _q_top_duplicate_snippets(spark, sf_dir):
+    from deduplicate_text_datasets_spark.operators.suffix import (
+        duplicate_window_census,
+    )
+
+    return duplicate_window_census(_docs(spark, sf_dir), SS_CFG, k=10).select(
+        "snippet",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("first_pos").cast("long").alias("first_pos"),
+    )
+
+
 def _q_interval_coalesce(spark, sf_dir):
     from deduplicate_text_datasets_spark.operators.intervals import (
         coalesce_positions,
@@ -680,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contains": _q_contains,
         "self_similar_ranges": _q_self_similar_ranges,
         "self_similar_positions": _q_self_similar_positions,
+        "top_duplicate_snippets": _q_top_duplicate_snippets,
         "interval_coalesce": _q_interval_coalesce,
         "interval_join_docs": _q_interval_join_docs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
@@ -846,6 +859,18 @@ FROM grp GROUP BY g""",
 SELECT CAST(pos AS BIGINT) AS pos, CAST(m AS BIGINT) AS cluster_id,
        CAST(c AS BIGINT) AS cluster_size
 FROM dups""",
+        # top-k by (cnt DESC, first_pos ASC) is a total order (first_pos =
+        # the window's min position, unique per distinct window), so the
+        # LIMIT selects the same set on both sides deterministically
+        "top_duplicate_snippets": self_similar_core
+        + """,
+grp AS (
+  SELECT w, COUNT(*) AS cnt, MIN(pos) AS first_pos
+  FROM wins GROUP BY w HAVING COUNT(*) >= 2
+)
+SELECT w AS snippet, CAST(cnt AS BIGINT) AS cnt,
+       CAST(first_pos AS BIGINT) AS first_pos
+FROM grp ORDER BY cnt DESC, first_pos ASC LIMIT 10""",
         "interval_coalesce": """
 WITH pos AS (
   SELECT (o_orderkey * 37) % 100000 AS pos FROM orders

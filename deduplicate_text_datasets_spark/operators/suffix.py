@@ -679,6 +679,56 @@ def cluster_samples(
     )
 
 
+def duplicate_window_census(
+    docs: DataFrame, cfg: ExactSubstrConfig, k: int = 20
+) -> DataFrame:
+    """Most-duplicated-substrings census: the paper's headline analysis
+    table (Lee et al. 2022 §6; the reference produces it by post-processing
+    cmd_self_similar + cmd_collect dumps) — the k length-L windows repeated
+    most often across the corpus, with their text.
+
+    documents -> (snippet string, cnt, first_pos), ordered top-k by
+    (cnt DESC, first_pos ASC) — a total order (first_pos = the cluster's
+    min position, unique per cluster), so the selected set is deterministic
+    and oracle-comparable.
+
+    Plan (100-TB read): self_similar's cluster frame -> per-cluster size
+    (groupBy on the already dup-density-sized frame) -> global top-k via
+    TakeOrderedAndProject (k rows cross the final exchange, never the
+    cluster frame) -> snippet extraction ONLY for those k heads through
+    cluster_samples' interval join (windows may straddle documents, exactly
+    like the reference's raw corpus reads). Corpus text never rides a
+    shuffle; the census adds one tiny top-k reduction on top of
+    self_similar's single fingerprint exchange.
+
+    Note: `cnt` counts window OCCURRENCES (overlapping matches included),
+    matching the oracle's COUNT(*) per distinct window, not distinct docs.
+    """
+    from ..plans.caching import scoped_persist
+
+    if "byte_start" not in docs.columns:
+        docs = scoped_persist(with_offsets(docs, cfg.with_separators))
+    dups = self_similar(docs, cfg)
+    heads = dups.groupBy("cluster_id").agg(
+        F.max("cluster_size").alias("cluster_size")
+    )
+    top = heads.orderBy(
+        F.desc("cluster_size"), F.asc("cluster_id")
+    ).limit(k)
+    # cluster_samples only reads (cluster_id, cluster_size): handing it the
+    # k-row top frame extracts exactly k snippets — no semi-join back into
+    # the position frame needed.
+    samples = cluster_samples(docs, top, cfg)
+    return samples.select(
+        # byte-window decode; for multi-byte UTF-8 corpora a window can cut
+        # a code point (reference byte semantics, finish_dedup's splice
+        # does the same) — the SQL-oracle comparison assumes 1-byte chars
+        F.decode(F.col("sample"), "UTF-8").alias("snippet"),
+        F.col("cluster_size").alias("cnt"),
+        F.col("cluster_id").alias("first_pos"),
+    )
+
+
 def across_similar(
     fingerprints_a: DataFrame, fingerprints_b: DataFrame, cfg: ExactSubstrConfig
 ) -> tuple[DataFrame, DataFrame]:

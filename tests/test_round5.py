@@ -1029,3 +1029,66 @@ def test_scaling_adaptive_extra_rounds(monkeypatch):
     out2 = bench.run_scaling("/root/testdata/sf0.1", n_docs=10, rounds=2)
     assert len(out2["rounds"]) == 2
     assert out2["efficiency"] >= 0.8
+
+
+# --- duplicate-window census (paper's most-duplicated-substrings table) -----
+
+
+def test_duplicate_window_census_vs_bruteforce(spark):
+    """Census vs a driver-side brute count over the flat concatenation,
+    with a planted high-frequency snippet and a duplicate window that
+    straddles a document boundary (byte semantics, like the reference's
+    raw corpus reads)."""
+    import pandas as pd
+
+    from deduplicate_text_datasets_spark.operators.suffix import (
+        duplicate_window_census,
+    )
+
+    L = 16
+    boiler = "x" * 7 + "BOILERPLATE OK " + "y" * 10  # > L, repeated often
+    texts = []
+    for i in range(12):
+        texts.append(f"doc {i:03d} unique words " + boiler + f" tail {i}")
+    # straddle: the end of doc 12 + start of doc 13 repeats the end of
+    # doc 14 + start of doc 15 (windows cross doc boundaries in the flat
+    # corpus, so these must count as duplicates)
+    texts += ["AAA straddle-head", "straddle-tail BBB"] * 2
+    import datetime
+
+    n = len(texts)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "url": [f"http://h/{i}" for i in range(n)],
+            "warc_ts": [datetime.datetime(2024, 1, 1)] * n,
+            "html": [b""] * n,
+            "text": texts,
+            "lang": ["en"] * n,
+        }
+    )
+    docs = spark.createDataFrame(pdf, schema=DOCUMENTS_SCHEMA)
+    cfg = ExactSubstrConfig(
+        length_threshold=L, shard_bytes=256, overlap_bytes=64,
+        with_separators=False,
+    )
+    k = 8
+    got = {
+        r["snippet"]: (r["cnt"], r["first_pos"])
+        for r in duplicate_window_census(docs, cfg, k=k).collect()
+    }
+
+    corpus = "".join(texts)
+    counts: dict[str, list] = {}
+    for i in range(len(corpus) - L + 1):
+        w = corpus[i : i + L]
+        counts.setdefault(w, [0, i])[0] += 1
+    dup = {w: (c, p) for w, (c, p) in counts.items() if c >= 2}
+    want = dict(
+        sorted(dup.items(), key=lambda kv: (-kv[1][0], kv[1][1]))[:k]
+    )
+    assert got == want
+    # the straddling window is in the dup set (sanity that the fixture
+    # exercises the cross-document case at all)
+    assert any("headstraddle" in w.replace("-", "") or
+               ("head" in w and "tail" in w) for w in dup), dup
