@@ -433,6 +433,103 @@ def find_duplicates(fingerprints: DataFrame, cfg: ExactSubstrConfig) -> DataFram
     )
 
 
+DUPLICATES_SCHEMA = T.StructType(
+    [
+        T.StructField("pos", T.LongType(), False),
+        T.StructField("cluster_id", T.LongType(), False),
+        T.StructField("cluster_size", T.LongType(), False),
+    ]
+)
+
+
+def _dup_group_rows(pdf: pd.DataFrame, min_count: int) -> pd.DataFrame:
+    """Vectorized cluster pass over a frame of COMPLETE (h1, h2) groups
+    sorted by (h1, h2, pos): change-point detection + repeat, no hashing.
+    pos is ascending within each group, so pos[group_start] IS the min
+    member = cluster_id."""
+    h1 = pdf["h1"].to_numpy()
+    h2 = pdf["h2"].to_numpy()
+    pos = pdf["pos"].to_numpy()
+    change = np.nonzero((h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1]))[0] + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(pos)]))
+    sizes = ends - starts
+    keep = np.repeat(sizes >= min_count, sizes)
+    return pd.DataFrame(
+        {
+            "pos": pos[keep],
+            "cluster_id": np.repeat(pos[starts], sizes)[keep],
+            "cluster_size": np.repeat(sizes, sizes)[keep].astype(np.int64),
+        }
+    )
+
+
+def find_duplicates_mappass(
+    fingerprints: DataFrame, cfg: ExactSubstrConfig
+) -> DataFrame:
+    """Single-pass variant of find_duplicates: same output contract
+    (pos, cluster_id=min member, cluster_size; size >= 2 and >
+    frequency_threshold), different physical plan.
+
+    repartition(h1, h2) -> sortWithinPartitions(h1, h2, pos) -> ONE
+    vectorized Arrow pass per partition. Every (h1, h2) group is
+    contiguous in its sorted partition, so cluster_size is a run length
+    and cluster_id is the run head — no hash aggregation, no join-back,
+    and the fingerprint frame has exactly ONE consumer (no persist, no
+    second kernel run). Exchange: the same single 24 B/position shuffle
+    as the copartition plan; the agg exchange (~32 B/position of
+    mostly-unique keys that defeat map-side combine) disappears.
+
+    Memory: the kernel buffers at most one straddling group between Arrow
+    batches (60k-dup C4 boilerplate window ~= 1.4 MB; a pathological
+    10^8-member group ~= 2.4 GB — the same rows the agg plan's join-back
+    routes through AQE skew-split tasks, so the exposure is a buffer
+    instead of a task, bounded by the hottest single window's dup count).
+    """
+    min_count = max(2, cfg.frequency_threshold + 1)
+    clustered = fingerprints.repartition("h1", "h2").sortWithinPartitions(
+        "h1", "h2", "pos"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pend: list[pd.DataFrame] = []  # segments of the trailing group
+        key: tuple[int, int] | None = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h1 = pdf["h1"].to_numpy()
+            h2 = pdf["h2"].to_numpy()
+            first = (int(h1[0]), int(h2[0]))
+            last = (int(h1[-1]), int(h2[-1]))
+            brk = np.nonzero((h1 != last[0]) | (h2 != last[1]))[0]
+            cut = int(brk[-1]) + 1 if len(brk) else 0
+            head, tail = pdf.iloc[:cut], pdf.iloc[cut:]
+            if pend and first != key:
+                # pending group closed exactly at the batch boundary
+                out = _dup_group_rows(
+                    pd.concat(pend, ignore_index=True), min_count
+                )
+                pend = []
+                if len(out):
+                    yield from _emit_chunks(out)
+            if len(head):
+                if pend:
+                    head = pd.concat([*pend, head], ignore_index=True)
+                    pend = []
+                out = _dup_group_rows(head, min_count)
+                if len(out):
+                    yield from _emit_chunks(out)
+            if len(tail):
+                pend.append(tail)
+                key = last
+        if pend:
+            out = _dup_group_rows(pd.concat(pend, ignore_index=True), min_count)
+            if len(out):
+                yield from _emit_chunks(out)
+
+    return clustered.mapInPandas(kernel, DUPLICATES_SCHEMA)
+
+
 def _prefilter_sketch_bc(
     dup_keys: DataFrame, max_keys: int, sketch_mode: str | None = None
 ):
@@ -495,8 +592,27 @@ def self_similar(
     prefilter: bool | None = None,
     prefilter_max_keys: int | None = None,
     prefilter_sketch: str | None = None,
+    dedup_pass: str | None = None,
 ) -> DataFrame:
     """documents -> duplicates(pos, cluster_id, cluster_size).
+
+    dedup_pass selects the clustering plan over the fingerprint frame
+    (env SPARK_GRAFT_FP_DEDUP):
+
+    * ``mappass`` (default, round-5) — find_duplicates_mappass: one
+      (h1, h2) exchange -> sorted partitions -> single vectorized Arrow
+      pass. The fingerprint frame becomes single-consumer, so
+      persist_fp/copartition are moot and skipped (no 24 B/position
+      cache at all); the prefilter still composes (pass-2 frame shrinks
+      identically). Motivation: the stress profile at 30k docs/64 MiB
+      shards showed the agg plan's stats+join-back at 44% of all CPU;
+      measured at sf0.1 mappass is 0.70x wall at identical exchange
+      bytes and identical output (scripts/measure_exchange.py
+      --modes=copart,mappass; BASELINE.md round-5).
+    * ``agg`` — find_duplicates: groupBy stats + join-back, fingerprint
+      frame persisted/copartitioned per the kwargs below (round-4 plan;
+      kept A/B-able — it routes pathological single-window hot groups
+      through AQE skew-split tasks instead of one kernel buffer).
 
     find_duplicates consumes the fingerprint frame twice (stats agg +
     join-back). Two strategies:
@@ -575,6 +691,10 @@ def self_similar(
         prefilter_max_keys = int(
             os.environ.get("SPARK_GRAFT_FP_PREFILTER_MAX_KEYS", str(1 << 24))
         )
+    if dedup_pass is None:
+        dedup_pass = os.environ.get("SPARK_GRAFT_FP_DEDUP", "mappass")
+    if dedup_pass not in ("agg", "mappass"):
+        raise ValueError(f"dedup_pass must be 'agg' or 'mappass': {dedup_pass}")
 
     if "byte_start" not in docs.columns:
         docs = scoped_persist(with_offsets(docs, cfg.with_separators))
@@ -600,6 +720,10 @@ def self_similar(
     # no-broadcast (100-TB) regime its stats agg + join-back still want the
     # single (h1, h2)-clustered exchange, just over a ~dup_fraction frame
     fp = window_fingerprints(docs, cfg, total, dup_keys_bc)
+    if dedup_pass == "mappass":
+        # single consumer: no persist, no pre-repartition — the mappass
+        # operator owns the one (h1, h2) exchange + partition sort
+        return find_duplicates_mappass(fp, cfg)
     if copartition and persist_fp:
         # only with persist: uncached, each consumer would re-run the
         # repartition exchange anyway (no saving over the status quo)

@@ -101,6 +101,8 @@ kwargs = {{
         "prefilter": True, "prefilter_max_keys": 1,
         "prefilter_sketch": "bloom",
     }},
+    "mappass": {{"dedup_pass": "mappass"}},
+    "mappass_prefilter": {{"dedup_pass": "mappass", "prefilter": True}},
 }}[mode]
 w0, r0 = shuffle_totals()
 t0 = time.time()
@@ -174,6 +176,7 @@ def main() -> None:
         "write_ratio_copart_vs_plain": ("copart", "plain"),
         "write_ratio_prefilter_vs_copart": ("prefilter", "copart"),
         "write_ratio_bloom_vs_prefilter": ("bloom", "prefilter"),
+        "write_ratio_mappass_vs_copart": ("mappass", "copart"),
     }.items():
         r = ratio(num, den, "shuffle_write_bytes")
         if r is not None:
@@ -181,6 +184,10 @@ def main() -> None:
     if "prefilter" in best and "copart" in best:
         summary["wall_ratio_prefilter_vs_copart"] = round(
             best["prefilter"]["wall_s"] / max(1e-9, best["copart"]["wall_s"]), 3
+        )
+    if "mappass" in best and "copart" in best:
+        summary["wall_ratio_mappass_vs_copart"] = round(
+            best["mappass"]["wall_s"] / max(1e-9, best["copart"]["wall_s"]), 3
         )
     print("FINAL " + json.dumps(summary))
 

@@ -426,7 +426,7 @@ def test_self_similar_copartition_plan_and_parity(spark, docs):
         with_separators=True,
     )
     spark.catalog.clearCache()
-    out = self_similar(docs, cfg, copartition=True)
+    out = self_similar(docs, cfg, copartition=True, dedup_pass="agg")
     got = sorted(
         (r["pos"], r["cluster_id"], r["cluster_size"]) for r in out.collect()
     )
@@ -435,7 +435,8 @@ def test_self_similar_copartition_plan_and_parity(spark, docs):
     spark.catalog.clearCache()
     want = sorted(
         (r["pos"], r["cluster_id"], r["cluster_size"])
-        for r in self_similar(docs, cfg, copartition=False).collect()
+        for r in self_similar(docs, cfg, copartition=False,
+                              dedup_pass="agg").collect()
     )
     assert got == want
     spark.catalog.clearCache()

@@ -1092,3 +1092,107 @@ def test_duplicate_window_census_vs_bruteforce(spark):
     # exercises the cross-document case at all)
     assert any("headstraddle" in w.replace("-", "") or
                ("head" in w and "tail" in w) for w in dup), dup
+
+
+# --- mappass dedup pass (round-5: drop the stats agg + join-back) ------------
+
+
+def test_mappass_parity_with_agg_plan(spark, docs):
+    """find_duplicates_mappass must be a pure physical-plan choice: output
+    identical to the agg+join-back plan, including frequency_threshold
+    semantics (size > threshold, main.rs:914)."""
+    from deduplicate_text_datasets_spark.operators.suffix import self_similar
+
+    spark.catalog.clearCache()
+    base = sorted(
+        tuple(r)
+        for r in self_similar(docs, SS_CFG, dedup_pass="agg").collect()
+    )
+    assert len(base) > 0
+    spark.catalog.clearCache()
+    got = sorted(
+        tuple(r)
+        for r in self_similar(docs, SS_CFG, dedup_pass="mappass").collect()
+    )
+    assert got == base
+    spark.catalog.clearCache()
+
+    # frequency threshold: keep only clusters strictly larger than it
+    sizes = sorted({r[2] for r in base})
+    thr = sizes[0]  # drops at least the smallest cluster size
+    cfg_t = ExactSubstrConfig(
+        length_threshold=SS_CFG.length_threshold,
+        frequency_threshold=thr,
+        shard_bytes=SS_CFG.shard_bytes,
+        overlap_bytes=SS_CFG.overlap_bytes,
+        with_separators=SS_CFG.with_separators,
+    )
+    want_t = [t for t in base if t[2] > thr]
+    got_t = sorted(
+        tuple(r)
+        for r in self_similar(docs, cfg_t, dedup_pass="mappass").collect()
+    )
+    assert got_t == want_t and len(got_t) < len(base)
+    spark.catalog.clearCache()
+
+
+def test_mappass_group_straddles_arrow_batches(spark, docs):
+    """Force 3-row Arrow batches so every real cluster straddles batch
+    boundaries inside the kernel — the pending-group reassembly must keep
+    output exact; and with prefilter composed on top."""
+    from deduplicate_text_datasets_spark.operators.suffix import self_similar
+
+    spark.catalog.clearCache()
+    base = sorted(
+        tuple(r)
+        for r in self_similar(docs, SS_CFG, dedup_pass="agg").collect()
+    )
+    assert any(t[2] > 3 for t in base), "fixture needs a >3-member cluster"
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "3")
+    try:
+        spark.catalog.clearCache()
+        got = sorted(
+            tuple(r)
+            for r in self_similar(docs, SS_CFG, dedup_pass="mappass").collect()
+        )
+        assert got == base
+        spark.catalog.clearCache()
+        pre = sorted(
+            tuple(r)
+            for r in self_similar(
+                docs, SS_CFG, dedup_pass="mappass", prefilter=True
+            ).collect()
+        )
+        assert pre == base
+    finally:
+        spark.conf.set(key, old)
+        spark.catalog.clearCache()
+
+
+def test_mappass_plan_has_no_join_or_agg(spark, docs):
+    """The mappass physical plan over the fingerprint frame is exchange ->
+    sort -> MapInPandas: no join, no hash aggregate, no second consumer."""
+    from deduplicate_text_datasets_spark.operators.suffix import (
+        find_duplicates_mappass,
+        window_fingerprints,
+    )
+    from deduplicate_text_datasets_spark.sources.corpus import with_offsets
+
+    d = with_offsets(docs, True).cache()
+    d.count()
+    fp = window_fingerprints(d, SS_CFG)
+    out = find_duplicates_mappass(fp, SS_CFG)
+    n = out.count()
+    assert n > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the cached offsets frame dumps its own BUILD plan (joins, window)
+    # under InMemoryRelation — the mappass plan ends at the cache scan
+    plan = plan.split("InMemoryRelation")[0]
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                "HashAggregate", "ObjectHashAggregate", "SortAggregate"):
+        assert bad not in plan, f"{bad} in mappass plan:\n{plan[:2000]}"
+    assert "MapInPandas" in plan
+    d.unpersist()
+    spark.catalog.clearCache()
