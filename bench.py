@@ -821,5 +821,15 @@ if __name__ == "__main__":
     elif len(sys.argv) >= 2 and sys.argv[1] == "--stress":
         n = int(sys.argv[2]) if len(sys.argv) >= 3 else None
         print(json.dumps({"stress": run_stress(n)}))
+    elif len(sys.argv) >= 2:
+        # An unrecognized flag must not silently start a ~30-minute
+        # recording session (the no-arg path).
+        print(
+            "usage: bench.py            record headline suite + scaling\n"
+            "       bench.py --stress [N_DOCS]\n"
+            "       bench.py --leg CORES N_DOCS",
+            file=sys.stderr,
+        )
+        sys.exit(0 if sys.argv[1] in ("-h", "--help") else 2)
     else:
         main()
