@@ -1031,6 +1031,80 @@ def test_scaling_adaptive_extra_rounds(monkeypatch):
     assert out2["efficiency"] >= 0.8
 
 
+def test_scaling_per_leg_flank_gating(monkeypatch):
+    """Per-leg width-matched flank controls (2026-08-19 protocol fix):
+    a leg whose flanking spins read slow against the session's best spin
+    at that width is excluded, while the OTHER level's healthy leg in the
+    same round survives — the measured failure of round-coupled gating
+    was discarding a healthy 57.8 s 8-core leg because the 2-core side's
+    window was noisy, then keeping a poisoned 101.4 s one whose episode
+    fit between the round's edge controls."""
+    import importlib.util
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_for_test2",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    monkeypatch.setattr(_sys, "argv", ["bench.py"])
+    spec.loader.exec_module(bench)
+    monkeypatch.setenv("SPARK_GRAFT_CONTROL_GATE", "1")
+    monkeypatch.setenv("SPARK_GRAFT_SCALING_EXTRA_ROUNDS", "0")
+
+    # round 0: healthy 2-core leg, 8-core leg in a degraded window
+    # (post-flank 6.0 s vs best 3.7); round 1: the mirror image.
+    walls = {2: [100.0, 140.0], 8: [60.0, 31.0]}
+    # flank calls arrive in strict order: pre2 post2 pre8 post8, per round
+    spin_seq = [3.7, 3.7, 3.7, 6.0, 5.5, 5.5, 3.8, 3.7]
+    idx = {2: 0, 8: 0}
+
+    def fake_spin(procs):
+        return spin_seq.pop(0)
+
+    def fake_run(cmd, **kw):
+        cores, n = int(cmd[-2]), int(cmd[-1])
+        w = walls[cores][idx[cores]]
+        idx[cores] += 1
+
+        class R:
+            returncode = 0
+            stderr = ""
+            stdout = _json.dumps(
+                {"docs": n, "wall_sec": w, "docs_per_sec": n / w,
+                 "shard_bytes": 1}
+            )
+
+        return R()
+
+    monkeypatch.setattr(bench, "leg_spin_wall", fake_spin)
+    # the informational session pre-gate spawns a real mp.Pool, which
+    # cannot pickle _spin out of this exec'd test module — stub it
+    monkeypatch.setattr(
+        bench,
+        "control_gate",
+        lambda *a, **kw: {"levels": [2, 8], "band": [0.85, 1.15],
+                         "attempts": [1.0], "in_band": True, "control": {}},
+    )
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    out = bench.run_scaling("/root/testdata/sf0.1", n_docs=10, rounds=2)
+
+    # best spin 3.7, band 1.15 -> threshold 4.255: in-band legs are
+    # round-0 local2 (100 s) and round-1 local8 (31 s)
+    assert out["rounds"][0]["legs"]["local2"]["in_band"] is True
+    assert out["rounds"][0]["legs"]["local8"]["in_band"] is False
+    assert out["rounds"][1]["legs"]["local2"]["in_band"] is False
+    assert out["rounds"][1]["legs"]["local8"]["in_band"] is True
+    assert out["rounds"][0]["in_band"] is False  # round = all its legs
+    assert out["efficiency_from_in_band_rounds"] is True
+    assert out["efficiency"] == round((100.0 / 31.0) / 4, 3)
+    assert out["best_spin_sec"] == {"local2": 3.7, "local8": 3.75}
+    assert 0 < out["efficiency_vs_control"] <= 1.5
+
+
 # --- duplicate-window census (paper's most-duplicated-substrings table) -----
 
 
