@@ -55,6 +55,15 @@ def with_unit_vectors(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def _seq_dot(m: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Row-wise dot(m[i], q) with the exact IEEE rounding sequence of the
+    Catalyst fold ``aggregate(zip_with(a, b, x*y), 0.0, acc+v)``: products
+    in double, then strictly left-to-right accumulation — np.cumsum is
+    sequential by definition, so the result is bit-identical to the HOF
+    formula (np.dot/np.sum use pairwise/SIMD summation and are NOT)."""
+    return np.cumsum(m * q[None, :], axis=1)[:, -1]
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -64,21 +73,68 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query vector by cosine similarity.
 
-    queries: (query_id, embedding). The query side is broadcast (small by
-    contract); ties broken by neighbor id for determinism. Self-matches
-    (same id) excluded. Returns (query_id, rank, neighbor_id, cosine).
+    queries: (query_id, embedding). The query side is collected and rides
+    the task closure (small by declared contract — the reference's in-RAM
+    query file shape); ties broken by neighbor id for determinism.
+    Self-matches (same id) excluded. Returns
+    (query_id, rank, neighbor_id, cosine).
+
+    The scoring is one vectorized numpy pass per Arrow batch (round-6: the
+    previous BroadcastNestedLoopJoin evaluated the zip_with/aggregate dot
+    product HOFs interpreted per pair — guide §4.2). Double arithmetic
+    reproduces the HOF fold bit-for-bit (_seq_dot), so ranking and the
+    rounded cosine are unchanged; the rank window (with Spark's
+    WindowGroupLimit partial top-k) stays in Catalyst.
     """
-    q = queries.select(
-        F.col("query_id"), F.col(vec_col).alias("q_vec")
+    q_rows = queries.select("query_id", F.col(vec_col).alias("q_vec")).collect()
+    qids = [int(r["query_id"]) for r in q_rows]
+    qvs = [np.asarray(r["q_vec"], dtype=np.float64) for r in q_rows]
+    qnorms = [
+        float(np.sqrt(np.cumsum(v * v)[-1])) if len(v) else 0.0 for v in qvs
+    ]
+    emb_sel = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+    # small inputs scan as one split; spread the CPU-bound scoring across
+    # the cluster (no-op at scale where splits >> parallelism)
+    want = emb.sparkSession.sparkContext.defaultParallelism
+    if emb_sel.rdd.getNumPartitions() < want:
+        emb_sel = emb_sel.repartition(want)
+
+    schema = T.StructType(
+        [
+            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("cosine", T.DoubleType(), True),
+        ]
     )
-    scored = emb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
-    ).crossJoin(F.broadcast(q))
-    scored = scored.withColumn(
-        "cosine",
-        _dot(F.col("q_vec"), F.col("v"))
-        / (_norm(F.col("q_vec")) * _norm(F.col("v"))),
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
+
+    def kernel(batches) -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["neighbor_id"].to_numpy(np.int64)
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            vnorm = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
+            for qid, qv, qn in zip(qids, qvs, qnorms):
+                denom = qn * vnorm
+                if np.any(denom == 0.0):
+                    # mirror the session's ANSI divide-by-zero contract of
+                    # the Catalyst formula this kernel replaces
+                    raise ArithmeticError(
+                        "cosine_topk: zero-norm vector (division by zero)"
+                    )
+                yield pd.DataFrame(
+                    {
+                        "neighbor_id": ids,
+                        "query_id": np.int64(qid),
+                        "cosine": _seq_dot(m, qv) / denom,
+                    }
+                )
+
+    scored = emb_sel.mapInPandas(kernel, schema).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )

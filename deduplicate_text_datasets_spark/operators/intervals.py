@@ -149,9 +149,39 @@ def _merge_sorted_partitions(
     # itself unpersisted, everything above it. Measured at the 30k-doc
     # stress profile: the same 229 MB position exchange was written 4x
     # and re-read ~12x through here before this persist.
+    import os
+
     from ..plans.caching import scoped_persist
 
     p = scoped_persist(ranges.mapInPandas(local, merged_schema))
+    # Size-adaptive seam merge: the locally-merged frame is one row per
+    # locally-MAXIMAL range, already orders of magnitude smaller than the
+    # input positions. At or below the guard (env
+    # SPARK_GRAFT_INTERVALS_DRIVER_MAX, default 2^20 ranges = a bounded
+    # 16 MB Arrow pull) the seam merge is one vectorized _local_merge on
+    # the driver instead of ~8 stages of stats windows + broadcast joins —
+    # whose per-stage fixed cost dominates exactly when the range list is
+    # small. Above the guard (C4-scale remove lists) the hierarchical pass
+    # runs unchanged. Both paths are the same associative interval union;
+    # parity is pytest-pinned.
+    driver_max = int(
+        os.environ.get("SPARK_GRAFT_INTERVALS_DRIVER_MAX", str(1 << 20))
+    )
+    if driver_max > 0 and p.count() <= driver_max:
+        pdf = p.select("start", "end").toPandas()
+        arr = pdf.to_numpy(dtype=np.int64)
+        if len(arr):
+            arr = arr[np.lexsort((arr[:, 1], arr[:, 0]))]
+        merged = _local_merge(arr, adjacency, gap)
+        return ranges.sparkSession.createDataFrame(
+            pd.DataFrame(
+                {
+                    "start": merged[:, 0].astype(np.int64),
+                    "end": merged[:, 1].astype(np.int64),
+                }
+            ),
+            "start long, end long",
+        )
     stats = p.groupBy("pid").agg(
         F.max("end").alias("_pmax"), F.sum(F.lit(1)).alias("_cnt")
     )

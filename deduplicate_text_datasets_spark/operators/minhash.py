@@ -194,6 +194,19 @@ def candidate_pairs(
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
     )
+    # Hot-bucket short-circuit (round-6): the salted-grid branch exists for
+    # boilerplate-heavy webtext, but when the (persisted, tiny) size frame
+    # shows NO bucket above the cap — the common clean-corpus case — the
+    # whole branch (join-back + grid explode + union) is dead plan weight:
+    # several stages whose fixed cost dominates at small scale and whose
+    # scans are pure waste at large. One cheap probe on the cached sizes
+    # frame prunes it; the salted path is unchanged whenever any hot
+    # bucket exists (pair set identical either way, pytest-pinned).
+    has_hot = bool(
+        sizes.filter(F.col("bsize") > cfg.max_bucket_size).limit(1).count()
+    )
+    if not has_hot:
+        return pairs.distinct()
     hot = buckets.join(
         sizes.filter(
             (F.col("bsize") > cfg.max_bucket_size)
@@ -307,7 +320,9 @@ def candidate_pairs_across(
     buckets_b = scoped_persist(buckets_b)
     na = buckets_a.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("na"))
     nb = buckets_b.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("nb"))
-    joint = na.join(nb, ["band", "bucket"])
+    # joint is tiny (bucket-overlap keys only) but feeds the plain AND hot
+    # branches — persist it so the two size aggs run once (round-6)
+    joint = scoped_persist(na.join(nb, ["band", "bucket"]))
     cap, smax = cfg.max_bucket_size, cfg.salted_bucket_max
     plain_keys = joint.filter((F.col("na") <= cap) & (F.col("nb") <= cap))
     pa = buckets_a.join(plain_keys.select("band", "bucket"), ["band", "bucket"])
@@ -318,6 +333,12 @@ def candidate_pairs_across(
               ["band", "bucket"])
         .select("a", "b")
     )
+    # hot-bucket short-circuit (round-6, same as candidate_pairs)
+    has_hot = bool(
+        joint.filter((F.col("na") > cap) | (F.col("nb") > cap)).limit(1).count()
+    )
+    if not has_hot:
+        return plain.distinct()
     hot_keys = joint.filter(
         ((F.col("na") > cap) | (F.col("nb") > cap))
         & (F.col("na") <= smax)

@@ -153,6 +153,14 @@ def simhash_candidates(
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", "fa", "fb")
     )
+    # Hot-block short-circuit (round-6, same as minhash.candidate_pairs):
+    # prune the salted-grid branch when the size frame shows no block over
+    # the cap — identical pair set, several fewer stages.
+    has_hot = bool(
+        sizes.filter(F.col("bsize") > max_bucket_size).limit(1).count()
+    )
+    if not has_hot:
+        return plain.distinct()
     from .salted_join import grid_salted_self_pairs
 
     hot = exploded.join(

@@ -126,18 +126,34 @@ def make_store(spark, base_dir: str, cfg: EngineConfig) -> StageStore:
     return StageStore(spark, base_dir, fingerprint=config_fingerprint(cfg))
 
 
-@dataclass(frozen=True)
 class AcrossDedupResult:
-    """Both sides of the cross-corpus pipeline. Every frame is lazy — an
+    """Both sides of the cross-corpus pipeline. Every side is lazy — an
     unconsumed side costs nothing (the shared fingerprint frames are
-    persisted once and feed whichever sides the caller materializes)."""
+    persisted once and feed whichever sides the caller materializes).
 
-    dups_a: DataFrame
-    ranges_a: DataFrame
-    deduped_a: DataFrame
-    dups_b: DataFrame
-    ranges_b: DataFrame
-    deduped_b: DataFrame
+    Fields may be passed as values or as 0-arg thunks; thunks are invoked
+    (and memoized) on first attribute access. The thunk form is what keeps
+    the laziness contract now that coalesce_positions may run a bounded
+    size probe when its plan is CONSTRUCTED (intervals.py driver-merge
+    fast path): building e.g. ranges_a is deferred until someone reads it.
+    """
+
+    _FIELDS = (
+        "dups_a", "ranges_a", "deduped_a", "dups_b", "ranges_b", "deduped_b",
+    )
+
+    def __init__(self, dups_a, ranges_a, deduped_a, dups_b, ranges_b, deduped_b):
+        self._v = [dups_a, ranges_a, deduped_a, dups_b, ranges_b, deduped_b]
+
+    def __getattr__(self, name):
+        try:
+            i = self._FIELDS.index(name)
+        except ValueError:
+            raise AttributeError(name) from None
+        v = self._v[i]
+        if callable(v):
+            v = self._v[i] = v()
+        return v
 
     # DEPRECATED legacy 3-tuple unpack: (dups_a, ranges_a, deduped_a).
     # list(res)/tuple(res) silently drop the B side — use the named fields
@@ -252,12 +268,27 @@ def across_dedup(
     fp_a = scoped_persist(fp_a)
     fp_b = scoped_persist(fp_b)
     dups_a, dups_b = across_similar(fp_a, fp_b, cfg.exact)
-    ranges_a = coalesce_positions(dups_a, cfg.exact.length_threshold)
-    deduped_a = apply_removals(da, ranges_a, cfg.exact)
-    ranges_b = coalesce_positions(dups_b, cfg.exact.length_threshold)
-    deduped_b = apply_removals(db, ranges_b, cfg.exact)
+    L = cfg.exact.length_threshold
+    # ranges/deduped as memoized thunks: coalesce_positions may probe its
+    # input's size at plan-construction time (intervals.py driver-merge),
+    # so building a side eagerly here would materialize dup positions the
+    # caller never asked for (e.g. contamination_report reads only the B
+    # side; the across gate query only dups_a)
+    def side(dups, docs_off):
+        ranges = None
+
+        def get_ranges():
+            nonlocal ranges
+            if ranges is None:
+                ranges = coalesce_positions(dups, L)
+            return ranges
+
+        return get_ranges, lambda: apply_removals(docs_off, get_ranges(), cfg.exact)
+
+    get_ranges_a, get_deduped_a = side(dups_a, da)
+    get_ranges_b, get_deduped_b = side(dups_b, db)
     return AcrossDedupResult(
-        dups_a, ranges_a, deduped_a, dups_b, ranges_b, deduped_b
+        dups_a, get_ranges_a, get_deduped_a, dups_b, get_ranges_b, get_deduped_b
     )
 
 
