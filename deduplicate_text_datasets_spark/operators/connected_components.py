@@ -127,20 +127,38 @@ def connected_components(
         driver_max_edges = int(
             os.environ.get("SPARK_GRAFT_CC_DRIVER_MAX", str(1 << 22))
         )
-    e = _canon(edges).localCheckpoint()
     if driver_max_edges > 0:
-        # count is cheap here: e is checkpointed, so this never re-runs the
-        # upstream edge pipeline
-        n_edges = e.count()
+        # Probe on the NARROW canonical projection without the distinct —
+        # greatest/least/filter are map-side, so the fast path costs zero
+        # exchanges: persist -> count -> bounded Arrow pull. The guard
+        # counts raw (pre-distinct) edges, which both bounds the actual
+        # pull and upper-bounds the distinct count the star rounds would
+        # see. numpy min-propagation is indifferent to duplicate edges.
+        from ..plans.caching import scoped_persist
+
+        raw = scoped_persist(
+            edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+            .filter(F.col("src") != F.col("dst"))
+            .select(
+                F.greatest("src", "dst").alias("u"),
+                F.least("src", "dst").alias("v"),
+            )
+        )
+        n_edges = raw.count()
         if n_edges <= driver_max_edges:
             if n_edges == 0:
                 assign = spark.createDataFrame([], "node long, component long")
             else:
                 assign = spark.createDataFrame(
-                    _driver_components(e.toPandas()),
+                    _driver_components(raw.toPandas()),
                     "node long, component long",
                 )
+            raw.unpersist(blocking=False)
             return _with_singletons(assign, nodes)
+        e = raw.distinct().localCheckpoint()
+        raw.unpersist(blocking=False)
+    else:
+        e = _canon(edges).localCheckpoint()
     prev_sig = None
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()

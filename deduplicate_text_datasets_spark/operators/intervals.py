@@ -50,8 +50,38 @@ def coalesce_positions(positions: DataFrame, length: int) -> DataFrame:
              ``_merge_sorted_partitions`` pass — no global-order window,
              so a C4-scale remove list (millions of ranges) never funnels
              through one partition.
+
+    Size-adaptive (round-6): below the SPARK_GRAFT_INTERVALS_DRIVER_MAX
+    guard (default 2^20 positions = a bounded 8 MB Arrow pull) the whole
+    fold is one numpy pass on the driver — the sampling job +
+    range exchange + per-partition fold + seam machinery all collapse
+    into persist/count/collect. The input is persisted before the probe
+    so its (possibly expensive) lineage runs exactly once on either path.
     """
-    parts = positions.select(F.col("pos").cast("long")).repartitionByRange(
+    import os
+
+    from ..plans.caching import scoped_persist
+
+    pos_narrow = positions.select(F.col("pos").cast("long"))
+    driver_max = int(
+        os.environ.get("SPARK_GRAFT_INTERVALS_DRIVER_MAX", str(1 << 20))
+    )
+    if driver_max > 0:
+        pos_p = scoped_persist(pos_narrow)
+        if pos_p.count() <= driver_max:
+            arr = np.sort(pos_p.toPandas()["pos"].to_numpy(np.int64))
+            folded = _fold_positions(arr, length)
+            return positions.sparkSession.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "start": folded[:, 0].astype(np.int64),
+                        "end": folded[:, 1].astype(np.int64),
+                    }
+                ),
+                "start long, end long",
+            )
+        pos_narrow = pos_p  # persisted: sampling + exchange reuse it
+    parts = pos_narrow.repartitionByRange(
         "pos"
     ).sortWithinPartitions("pos")
 
@@ -243,6 +273,7 @@ def interval_join(
     ranges: DataFrame,
     docs_with_offsets: DataFrame,
     chunk_bytes: int = 1 << 20,
+    dedup: bool = True,
 ) -> DataFrame:
     """Range join: remove_ranges x doc byte extents -> (doc row, start, end)
     for every overlapping pair (the two-pointer walk of
@@ -275,5 +306,9 @@ def interval_join(
     joined = d.join(r, "chunk").filter(
         (F.col("start") < F.col("byte_end")) & (F.col("end") > F.col("byte_start"))
     )
-    # a (doc, range) pair may meet in several chunks — keep one
+    # a (doc, range) pair may meet in several chunks — keep one. Callers
+    # that fold the result through their own set-semantics aggregation
+    # (strike.apply_removals) pass dedup=False and skip this exchange.
+    if not dedup:
+        return joined.drop("chunk")
     return joined.drop("chunk").dropDuplicates(["doc_id", "start", "end"])

@@ -20,10 +20,10 @@ boundary-straddling occurrences — the indexed query operators raise).
 
 ``buf`` is the shard's corpus bytes including the trailing overlap
 (HACKSIZE design, make_suffix_array.py:23,47); ``sa`` is the suffix array
-of ``buf`` as little-endian int64 — the reference's width-compressed
-pointer encoding (ceil(log2 n / 8) bytes, main.rs:571) is delegated to
-parquet's bit-packing + dictionary/zstd encoding, which achieves the same
-effect without custom (de)serializers.
+of ``buf`` as little-endian int32 for shards under 2 GiB (int64 above) —
+the reference's width-compressed pointer encoding (ceil(log2 n / 8)
+bytes, main.rs:571) quantized to 4/8 bytes; readers infer the width from
+len(sa)/len(buf), so pre-round-6 int64 indexes stay readable.
 
 Scale note: a row carries ~9 bytes per corpus byte (text + 8-byte SA), so
 ``shard_bytes`` bounds the Arrow batch per row. Index builds should use
@@ -130,34 +130,54 @@ def build_suffix_index(
     every query operator below is a binary search over the stored arrays.
     """
     if "byte_start" not in docs.columns:
-        docs = with_offsets(docs, cfg.with_separators)
+        # persisted: the offsets lineage feeds the total-bytes action AND
+        # the shard kernel input (round-6 — same pattern as self_similar)
+        from ..plans.caching import scoped_persist
+
+        docs = scoped_persist(with_offsets(docs, cfg.with_separators))
     if total is None:
         total = corpus_total_bytes(docs)
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def one_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         s = int(pdf["shard_id"].iloc[0])
         lo, buf = assemble_shard_buffer(
             pdf, cfg.shard_bytes, cfg.overlap_bytes, total, cfg.with_separators
         )
         sa = suffix_array(buf)
+        # width-compressed pointers (the reference's ceil(log2 n / 8)
+        # encoding, main.rs:571, quantized to 4/8 bytes): readers infer
+        # the width from len(sa_bytes) / len(buf)
+        width = "<i4" if len(buf) < (1 << 31) else "<i8"
         return pd.DataFrame(
             {
                 "shard_id": [s],
                 "lo": [lo],
                 "own_hi": [min((s + 1) * cfg.shard_bytes, total)],
                 "buf": [buf.tobytes()],
-                "sa": [sa.astype("<i8").tobytes()],
+                "sa": [sa.astype(width).tobytes()],
                 "shard_bytes": [cfg.shard_bytes],
                 "overlap_bytes": [cfg.overlap_bytes],
                 "with_separators": [cfg.with_separators],
             }
         )
 
+    def kernel(batches):
+        from .suffix import _iter_shard_groups
+
+        for g in _iter_shard_groups(batches):
+            yield one_shard(g)
+
+    # range layout, one shard per task (suffix._shards_one_per_task): the
+    # hash-groupBy layout let AQE coalesce the tiny shard exchange to ONE
+    # post-shuffle partition, serializing every SA construction in a
+    # single task (measured: the whole build ran as 1 task at sf0.1);
+    # repartitionByRange with an explicit partition count is not coalesced
+    from .suffix import _shards_one_per_task
+
     shards = assign_shards(docs, cfg.shard_bytes, cfg.overlap_bytes)
-    return (
-        shards.select("shard_id", "doc_id", "byte_start", "text")
-        .groupBy("shard_id")
-        .applyInPandas(kernel, SA_INDEX_SCHEMA)
+    proj = shards.select("shard_id", "doc_id", "byte_start", "text")
+    return _shards_one_per_task(proj, total, cfg.shard_bytes).mapInPandas(
+        kernel, SA_INDEX_SCHEMA
     )
 
 
@@ -183,11 +203,17 @@ def _iter_shards(
         for lo, own_hi, buf_b, sa_b in zip(
             pdf["lo"], pdf["own_hi"], pdf["buf"], pdf["sa"]
         ):
+            buf = np.frombuffer(buf_b, dtype=np.uint8)
+            # pointer width is len(sa)/len(buf): 4 (round-6 compressed
+            # layout for shards < 2 GiB) or 8 (legacy/large)
+            width = "<i4" if len(buf) and len(sa_b) == 4 * len(buf) else "<i8"
             yield (
                 int(lo),
                 int(own_hi),
-                np.frombuffer(buf_b, dtype=np.uint8),
-                np.frombuffer(sa_b, dtype="<i8"),
+                buf,
+                np.frombuffer(sa_b, dtype=width).astype(np.int64)
+                if width == "<i4"
+                else np.frombuffer(sa_b, dtype=width),
             )
 
 

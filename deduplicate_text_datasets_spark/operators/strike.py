@@ -43,7 +43,10 @@ def doc_spans(
     (a, b), clamped into the doc's text region — skipping the 6-byte
     separator prefix (finish_dedup_wiki40b.py:157-158)."""
     sep = SEP_BYTES if cfg.with_separators else 0
-    hit = interval_join(remove_ranges, docs_with_offsets)
+    # dedup=False: the multi-chunk duplicate artifact is removed by
+    # apply_removals' collect_set aggregation on the same exchange the
+    # span grouping needs anyway (round-6: one exchange instead of two)
+    hit = interval_join(remove_ranges, docs_with_offsets, dedup=False)
     return (
         hit.withColumn("text_base", F.col("byte_start") + F.lit(sep))
         .select(
@@ -96,7 +99,10 @@ def apply_removals(
     spans = scoped_persist(
         doc_spans(docs_with_offsets, remove_ranges, cfg)
         .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("a", "b"))).alias("spans"))
+        # collect_set: doc_spans runs the interval join without its
+        # dropDuplicates exchange; set semantics dedup the multi-chunk
+        # artifact here, on the groupBy exchange we pay anyway
+        .agg(F.array_sort(F.collect_set(F.struct("a", "b"))).alias("spans"))
     )
     docs = docs_with_offsets.select(
         "doc_id",

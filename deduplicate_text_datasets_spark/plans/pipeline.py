@@ -55,13 +55,19 @@ def neardup_clusters(
             F.col("a").alias("src"), F.col("b").alias("dst")
         )
         ex = exact_duplicate_edges(docs)
-        return mh.unionByName(ex).distinct()
+        # no .distinct() here (round-6): connected_components canonicalizes
+        # and dedups its input either way — the extra exchange bought
+        # nothing (assignments are identical under duplicate edges)
+        return mh.unionByName(ex)
 
     edges = store.stage("neardup_edges", build_edges) if store else build_edges()
-    nodes = docs.select(F.col("doc_id").alias("node"))
 
     def build_assign() -> DataFrame:
-        return connected_components(edges, nodes=nodes)
+        # nodes= is deliberately NOT passed (round-6): the left join +
+        # coalesce(component, doc_id) below already assigns every docless
+        # singleton to itself — passing nodes made CC distinct + join the
+        # full doc-id frame for an identical final result
+        return connected_components(edges)
 
     assign = (
         store.stage("neardup_components", build_assign, upstream=["neardup_edges"])

@@ -195,3 +195,39 @@ def test_candidate_pairs_hot_skip_parity(spark):
         }
     )
     assert plain == brute and salted == brute
+
+
+def test_sa_index_int64_layout_backcompat(spark, tmp_path):
+    """Round-6 stores int32 SA pointers; readers must still answer from a
+    pre-round-6 int64 index (width inferred per row from len(sa)/len(buf))."""
+    import numpy as np
+    import pandas as pd
+
+    from deduplicate_text_datasets_spark.operators.sa_index import (
+        count_occurrences_indexed,
+        read_suffix_index,
+    )
+    from deduplicate_text_datasets_spark.operators.suffix import suffix_array
+
+    buf = np.frombuffer(b"abracadabra arcana abra", dtype=np.uint8)
+    sa = suffix_array(buf.copy())
+    row = {
+        "shard_id": 0,
+        "lo": 0,
+        "own_hi": len(buf),
+        "buf": buf.tobytes(),
+        "sa": sa.astype("<i8").tobytes(),  # legacy width
+        "shard_bytes": 1 << 20,
+        "overlap_bytes": 1024,
+        "with_separators": False,
+    }
+    path = str(tmp_path / "legacy_idx")
+    spark.createDataFrame(pd.DataFrame([row])).write.parquet(path)
+    idx = read_suffix_index(spark, path)
+    out = {
+        r["query_id"]: r["count"]
+        for r in count_occurrences_indexed(
+            idx, [(0, b"abra"), (1, b"zzz")]
+        ).collect()
+    }
+    assert out == {0: 3, 1: 0}
