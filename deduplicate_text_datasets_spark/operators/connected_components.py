@@ -144,14 +144,15 @@ def connected_components(
                 F.least("src", "dst").alias("v"),
             )
         )
-        n_edges = raw.count()
-        if n_edges <= driver_max_edges:
-            if n_edges == 0:
+        # single limit-probe action: pulls at most guard+1 rows — both the
+        # size test and the edge collection in one job
+        pdf = raw.limit(driver_max_edges + 1).toPandas()
+        if len(pdf) <= driver_max_edges:
+            if len(pdf) == 0:
                 assign = spark.createDataFrame([], "node long, component long")
             else:
                 assign = spark.createDataFrame(
-                    _driver_components(raw.toPandas()),
-                    "node long, component long",
+                    _driver_components(pdf), "node long, component long"
                 )
             raw.unpersist(blocking=False)
             return _with_singletons(assign, nodes)

@@ -68,8 +68,10 @@ def coalesce_positions(positions: DataFrame, length: int) -> DataFrame:
     )
     if driver_max > 0:
         pos_p = scoped_persist(pos_narrow)
-        if pos_p.count() <= driver_max:
-            arr = np.sort(pos_p.toPandas()["pos"].to_numpy(np.int64))
+        # single limit-probe action (size test + collection in one job)
+        pdf = pos_p.limit(driver_max + 1).toPandas()
+        if len(pdf) <= driver_max:
+            arr = np.sort(pdf["pos"].to_numpy(np.int64))
             folded = _fold_positions(arr, length)
             return positions.sparkSession.createDataFrame(
                 pd.DataFrame(
@@ -197,8 +199,12 @@ def _merge_sorted_partitions(
     driver_max = int(
         os.environ.get("SPARK_GRAFT_INTERVALS_DRIVER_MAX", str(1 << 20))
     )
-    if driver_max > 0 and p.count() <= driver_max:
-        pdf = p.select("start", "end").toPandas()
+    pdf = (
+        p.select("start", "end").limit(driver_max + 1).toPandas()
+        if driver_max > 0
+        else None
+    )
+    if pdf is not None and len(pdf) <= driver_max:
         arr = pdf.to_numpy(dtype=np.int64)
         if len(arr):
             arr = arr[np.lexsort((arr[:, 1], arr[:, 0]))]

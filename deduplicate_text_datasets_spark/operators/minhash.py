@@ -187,13 +187,7 @@ def candidate_pairs(
         ),
         ["band", "bucket"],
     )
-    left = sized.select("band", "bucket", F.col("doc_id").alias("a"))
-    right = sized.select("band", "bucket", F.col("doc_id").alias("b"))
-    pairs = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-    )
+    pairs = _bucket_pairs(sized, cfg)
     # Hot-bucket short-circuit (round-6): the salted-grid branch exists for
     # boilerplate-heavy webtext, but when the (persisted, tiny) size frame
     # shows NO bucket above the cap — the common clean-corpus case — the
@@ -215,6 +209,21 @@ def candidate_pairs(
         ["band", "bucket"],
     )
     return pairs.unionByName(_salted_pairs(hot, cfg)).distinct()
+
+
+def _bucket_pairs(sized: DataFrame, cfg: MinHashConfig) -> DataFrame:
+    """All (a < b) doc pairs within each size-capped bucket via the
+    copartitioned self-join. (A collect_list + Catalyst pair-expansion
+    variant was A/B'd in round 6 and did not beat this once
+    preferSortMergeJoin=false let the planner pick a sort-free
+    shuffled-hash/broadcast join — the SMJ sorts were the actual cost.)"""
+    left = sized.select("band", "bucket", F.col("doc_id").alias("a"))
+    right = sized.select("band", "bucket", F.col("doc_id").alias("b"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
 
 
 def _salted_pairs(hot: DataFrame, cfg: MinHashConfig) -> DataFrame:

@@ -104,10 +104,11 @@ def exactsubstr_dedup(
     total = corpus_total_bytes(d)
 
     def build_dups() -> DataFrame:
-        # persisted: coalesce_positions' repartitionByRange runs a sampling
-        # job over its input before the real exchange — uncached, that
-        # sampling pass re-executes the shard fingerprint kernels end to end
-        return scoped_persist(self_similar(d, cfg.exact, total))
+        # not persisted (round-6): coalesce_positions persists its (narrow)
+        # input internally before probing/sampling, so the fingerprint
+        # kernels run once either way — a second cache layer here only
+        # duplicated the write
+        return self_similar(d, cfg.exact, total)
 
     dups = store.stage("exactsubstr_dups", build_dups) if store else build_dups()
 

@@ -48,6 +48,11 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_ADVISORY_MB", "8") + "m",
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # Prefer shuffled-hash over sort-merge when the planner's size
+        # conditions hold (guide §3.1/§9): the engine's joins are keyed by
+        # hashes/ids with AQE skew-splitting on — the SMJ sorts bought
+        # robustness we don't need and cost a per-run sort of both sides.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))

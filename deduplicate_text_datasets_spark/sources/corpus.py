@@ -48,11 +48,35 @@ def with_offsets(docs: DataFrame, with_separators: bool = True) -> DataFrame:
     rides a window exchange — and the result is joined back on doc_id
     (plain co-partitioned shuffle join, AQE-managed).
     """
+    import os
+
     sep = SEP_BYTES if with_separators else 0
     lens = docs.select(
         "doc_id",
         (F.octet_length("text") + F.lit(sep)).cast("long").alias("doc_len"),
     )
+    # Size-adaptive (round-6): the offsets are one exact integer prefix sum
+    # over (doc_id, doc_len). Below the guard (env
+    # SPARK_GRAFT_OFFSETS_DRIVER_MAX, default 2^20 docs = a bounded 16 MB
+    # Arrow pull) compute it on the driver and broadcast-join it back —
+    # the per-block window, block-totals window and broadcast-totals join
+    # all collapse into one limit-probe. The probe costs one capped scan;
+    # above the guard the hierarchical window path runs unchanged (the
+    # 10^12-doc design). Identical offsets either way (pytest + gate).
+    guard = int(os.environ.get("SPARK_GRAFT_OFFSETS_DRIVER_MAX", str(1 << 20)))
+    if guard > 0:
+        probe = lens.limit(guard + 1).toPandas()
+        if len(probe) <= guard:
+            pdf = probe.sort_values("doc_id", ignore_index=True)
+            dl = pdf["doc_len"].to_numpy(np.int64)
+            ends = np.cumsum(dl)
+            pdf["byte_start"] = ends - dl
+            pdf["byte_end"] = ends
+            offs = docs.sparkSession.createDataFrame(
+                pdf,
+                "doc_id long, doc_len long, byte_start long, byte_end long",
+            )
+            return docs.join(F.broadcast(offs), "doc_id")
     # integer `div`, not floor(double /): double division loses exactness
     # past 2^53 and doc counts are designed for 10^12
     lens = lens.withColumn("_block", F.expr(f"doc_id div {BLOCK_DOCS}"))
