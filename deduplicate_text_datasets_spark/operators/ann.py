@@ -116,6 +116,9 @@ def cosine_topk(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
             vnorm = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
+            out_i: list[np.ndarray] = []
+            out_q: list[np.ndarray] = []
+            out_c: list[np.ndarray] = []
             for qid, qv, qn in zip(qids, qvs, qnorms):
                 denom = qn * vnorm
                 if np.any(denom == 0.0):
@@ -124,13 +127,30 @@ def cosine_topk(
                     raise ArithmeticError(
                         "cosine_topk: zero-norm vector (division by zero)"
                     )
-                yield pd.DataFrame(
-                    {
-                        "neighbor_id": ids,
-                        "query_id": np.int64(qid),
-                        "cosine": _seq_dot(m, qv) / denom,
-                    }
-                )
+                cos = _seq_dot(m, qv) / denom
+                # batch-local partial top-k (round-6): every global top-k
+                # row must be in its batch's top-k under the SAME total
+                # order the rank window uses (desc cosine, asc neighbor_id
+                # — a prefix of a total order is preserved under union), so
+                # emitting only k rows per (batch, query) cannot change
+                # the window's output while shrinking its exchange ~1000x.
+                # Self-matches are excluded BEFORE the cut (the outer
+                # filter would otherwise punch holes in the k-prefix).
+                keep = ids != qid
+                kids, kcos = ids[keep], cos[keep]
+                if len(kids) > k:
+                    top = np.lexsort((kids, -kcos))[:k]
+                    kids, kcos = kids[top], kcos[top]
+                out_i.append(kids)
+                out_q.append(np.full(len(kids), qid, dtype=np.int64))
+                out_c.append(kcos)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": np.concatenate(out_i),
+                    "query_id": np.concatenate(out_q),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
 
     scored = emb_sel.mapInPandas(kernel, schema).filter(
         F.col("query_id") != F.col("neighbor_id")

@@ -134,7 +134,7 @@ def connected_components(
         # counts raw (pre-distinct) edges, which both bounds the actual
         # pull and upper-bounds the distinct count the star rounds would
         # see. numpy min-propagation is indifferent to duplicate edges.
-        from ..plans.caching import scoped_persist
+        from ..plans.caching import probe_rows, scoped_persist
 
         raw = scoped_persist(
             edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
@@ -144,10 +144,10 @@ def connected_components(
                 F.least("src", "dst").alias("v"),
             )
         )
-        # single limit-probe action: pulls at most guard+1 rows — both the
-        # size test and the edge collection in one job
-        pdf = raw.limit(driver_max_edges + 1).toPandas()
-        if len(pdf) <= driver_max_edges:
+        # count+collect probe (plans.caching.probe_rows): no CollectLimit
+        # escalation ladder, nothing shipped when the frame is over-guard
+        pdf = probe_rows(raw, driver_max_edges)
+        if pdf is not None:
             if len(pdf) == 0:
                 assign = spark.createDataFrame([], "node long, component long")
             else:

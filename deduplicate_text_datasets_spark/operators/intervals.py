@@ -60,7 +60,7 @@ def coalesce_positions(positions: DataFrame, length: int) -> DataFrame:
     """
     import os
 
-    from ..plans.caching import scoped_persist
+    from ..plans.caching import probe_rows, scoped_persist
 
     pos_narrow = positions.select(F.col("pos").cast("long"))
     driver_max = int(
@@ -68,12 +68,13 @@ def coalesce_positions(positions: DataFrame, length: int) -> DataFrame:
     )
     if driver_max > 0:
         pos_p = scoped_persist(pos_narrow)
-        # single limit-probe action (size test + collection in one job)
-        pdf = pos_p.limit(driver_max + 1).toPandas()
-        if len(pdf) <= driver_max:
+        # count+collect probe (plans.caching.probe_rows): no CollectLimit
+        # escalation ladder, nothing shipped when the frame is over-guard
+        pdf = probe_rows(pos_p, driver_max)
+        if pdf is not None:
             arr = np.sort(pdf["pos"].to_numpy(np.int64))
             folded = _fold_positions(arr, length)
-            return positions.sparkSession.createDataFrame(
+            out = positions.sparkSession.createDataFrame(
                 pd.DataFrame(
                     {
                         "start": folded[:, 0].astype(np.int64),
@@ -82,6 +83,11 @@ def coalesce_positions(positions: DataFrame, length: int) -> DataFrame:
                 ),
                 "start long, end long",
             )
+            # driver-resident ranges, memoized on the frame: the strike
+            # fast path (strike.apply_removals) maps them onto the doc
+            # offsets without any join (round-6)
+            out._driver_ranges_memo = folded
+            return out
         pos_narrow = pos_p  # persisted: sampling + exchange reuse it
     parts = pos_narrow.repartitionByRange(
         "pos"
@@ -183,7 +189,7 @@ def _merge_sorted_partitions(
     # and re-read ~12x through here before this persist.
     import os
 
-    from ..plans.caching import scoped_persist
+    from ..plans.caching import probe_rows, scoped_persist
 
     p = scoped_persist(ranges.mapInPandas(local, merged_schema))
     # Size-adaptive seam merge: the locally-merged frame is one row per
@@ -200,16 +206,16 @@ def _merge_sorted_partitions(
         os.environ.get("SPARK_GRAFT_INTERVALS_DRIVER_MAX", str(1 << 20))
     )
     pdf = (
-        p.select("start", "end").limit(driver_max + 1).toPandas()
+        probe_rows(p.select("start", "end"), driver_max)
         if driver_max > 0
         else None
     )
-    if pdf is not None and len(pdf) <= driver_max:
+    if pdf is not None:
         arr = pdf.to_numpy(dtype=np.int64)
         if len(arr):
             arr = arr[np.lexsort((arr[:, 1], arr[:, 0]))]
         merged = _local_merge(arr, adjacency, gap)
-        return ranges.sparkSession.createDataFrame(
+        out = ranges.sparkSession.createDataFrame(
             pd.DataFrame(
                 {
                     "start": merged[:, 0].astype(np.int64),
@@ -218,6 +224,8 @@ def _merge_sorted_partitions(
             ),
             "start long, end long",
         )
+        out._driver_ranges_memo = merged  # see coalesce_positions
+        return out
     stats = p.groupBy("pid").agg(
         F.max("end").alias("_pmax"), F.sum(F.lit(1)).alias("_cnt")
     )

@@ -162,7 +162,37 @@ def candidate_pairs(
     neither holds for a WindowExec partition, which is why this is not a
     count-over-window.
     """
-    from ..plans.caching import scoped_persist
+    import os
+
+    from ..plans.caching import probe_rows, scoped_persist
+    from .salted_join import driver_bucket_pairs
+
+    # Size-adaptive driver fast path (round-6, same guard family as the
+    # driver CC / interval / offsets paths): the bucket frame is tiny next
+    # to the corpus (24 B x docs x bands), and at or below the guard the
+    # whole candidate machinery — bucket exchange, size agg, join-back,
+    # hot probe, pair self-join, salted grid, distinct — collapses into
+    # one bounded Arrow pull plus a numpy pass producing the identical
+    # distinct pair set (salted_join.driver_bucket_pairs; parity pinned by
+    # test). Above the row guard or the pair budget the distributed plan
+    # runs unchanged from the same persisted frame (the 100-TB path).
+    driver_max = int(os.environ.get("SPARK_GRAFT_LSH_DRIVER_MAX", str(1 << 22)))
+    pair_cap = int(
+        os.environ.get("SPARK_GRAFT_LSH_DRIVER_PAIR_MAX", str(1 << 22))
+    )
+    if driver_max > 0:
+        raw = scoped_persist(buckets)
+        pdf = probe_rows(raw, driver_max)
+        if pdf is not None:
+            pairs_pdf = driver_bucket_pairs(
+                pdf, ["band", "bucket"], cfg.salted_bucket_max, pair_cap
+            )
+            if pairs_pdf is not None:
+                raw.unpersist(blocking=False)
+                return buckets.sparkSession.createDataFrame(
+                    pairs_pdf, "a long, b long"
+                )
+        buckets = raw  # persisted: the distributed plan reuses the cache
 
     # three consumers (size agg + join-back + both sides of the pair
     # self-join) — persist or the upstream signature kernel re-executes for
@@ -319,8 +349,44 @@ def candidate_pairs_across(
     bipartite block grid (salted_join.grid_salted_cross_pairs); larger
     ones are dropped (observable via ``oversized_buckets`` per side).
     """
-    from ..plans.caching import scoped_persist
-    from .salted_join import grid_salted_cross_pairs
+    import os
+
+    from ..plans.caching import probe_rows, scoped_persist
+    from .salted_join import (
+        driver_bucket_cross_pairs,
+        grid_salted_cross_pairs,
+    )
+
+    # Size-adaptive driver fast path (round-6): same design as
+    # candidate_pairs — both bucket frames under the guard collapse the
+    # joint-size agg, both join-backs, the cross-join and the salted grid
+    # into two bounded pulls + one numpy pass with the identical distinct
+    # pair set. Above either guard or the pair budget, the distributed
+    # plan runs unchanged from the same persisted frames.
+    driver_max = int(os.environ.get("SPARK_GRAFT_LSH_DRIVER_MAX", str(1 << 22)))
+    pair_cap = int(
+        os.environ.get("SPARK_GRAFT_LSH_DRIVER_PAIR_MAX", str(1 << 22))
+    )
+    if driver_max > 0:
+        raw_a = scoped_persist(buckets_a)
+        raw_b = scoped_persist(buckets_b)
+        pdf_a = probe_rows(raw_a, driver_max)
+        pdf_b = probe_rows(raw_b, driver_max) if pdf_a is not None else None
+        if pdf_a is not None and pdf_b is not None:
+            pairs_pdf = driver_bucket_cross_pairs(
+                pdf_a,
+                pdf_b,
+                ["band", "bucket"],
+                cfg.salted_bucket_max,
+                pair_cap,
+            )
+            if pairs_pdf is not None:
+                raw_a.unpersist(blocking=False)
+                raw_b.unpersist(blocking=False)
+                return buckets_a.sparkSession.createDataFrame(
+                    pairs_pdf, "a long, b long"
+                )
+        buckets_a, buckets_b = raw_a, raw_b  # persisted for the plans below
 
     if copartition:
         buckets_a = buckets_a.repartition("band", "bucket")

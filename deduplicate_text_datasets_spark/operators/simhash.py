@@ -127,6 +127,43 @@ def simhash_candidates(
             )
         ).alias("block", "value"),
     )
+    # Size-adaptive driver fast path (round-6, same design as
+    # minhash.candidate_pairs): under the guard, the block exchange, size
+    # agg, join-back, hot probe, pair self-join, salted grid and distinct
+    # collapse into one bounded Arrow pull + a numpy pass emitting the
+    # identical distinct (a, b, fa, fb) set (fingerprints ride as pair
+    # payload). Above the row guard or pair budget, the distributed plan
+    # runs unchanged from the same persisted frame.
+    import os
+
+    from ..plans.caching import probe_rows
+    from .salted_join import driver_bucket_pairs
+
+    driver_max = int(os.environ.get("SPARK_GRAFT_LSH_DRIVER_MAX", str(1 << 22)))
+    pair_cap = int(
+        os.environ.get("SPARK_GRAFT_LSH_DRIVER_PAIR_MAX", str(1 << 22))
+    )
+    if driver_max > 0:
+        raw = scoped_persist(exploded)
+        pdf = probe_rows(raw, driver_max)
+        if pdf is not None:
+            pairs_pdf = driver_bucket_pairs(
+                pdf,
+                ["block", "value"],
+                salted_bucket_max,
+                pair_cap,
+                payload=("fingerprint",),
+            )
+            if pairs_pdf is not None:
+                raw.unpersist(blocking=False)
+                pairs_pdf = pairs_pdf.rename(
+                    columns={"fingerprint_a": "fa", "fingerprint_b": "fb"}
+                )
+                return fingerprints.sparkSession.createDataFrame(
+                    pairs_pdf, "a long, b long, fa long, fb long"
+                )
+        exploded = raw  # persisted: the distributed plan reuses the cache
+
     if copartition:
         exploded = exploded.repartition("block", "value")
     exploded = scoped_persist(exploded)

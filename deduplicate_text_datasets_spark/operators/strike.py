@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -64,6 +65,61 @@ def doc_spans(
     )
 
 
+def _driver_spans(
+    docs_with_offsets: DataFrame,
+    remove_ranges: DataFrame,
+    cfg: ExactSubstrConfig,
+) -> DataFrame | None:
+    """(doc_id, spans) for affected docs as a LOCAL frame, computed on the
+    driver from the ranges/offsets memos — or None when either memo is
+    absent (caller runs the distributed join plan). Exact twin of
+    doc_spans + groupBy(collect_set): ranges are disjoint and each (doc,
+    range) overlap meets in exactly one place here, so no dedup is needed;
+    spans are emitted sorted by (a, b) like array_sort produced."""
+    ranges_arr = getattr(remove_ranges, "_driver_ranges_memo", None)
+    offs = getattr(docs_with_offsets, "_offsets_memo", None)
+    if ranges_arr is None or offs is None:
+        return None
+    doc_ids, d_start, d_end = offs
+    sep = SEP_BYTES if cfg.with_separators else 0
+    spark = docs_with_offsets.sparkSession
+    schema = "doc_id long, spans array<struct<a: bigint, b: bigint>>"
+    if len(ranges_arr) == 0 or len(doc_ids) == 0:
+        return spark.createDataFrame([], schema)
+    starts = ranges_arr[:, 0]
+    ends = ranges_arr[:, 1]
+    # docs overlapping range i: byte_start < end_i AND byte_end > start_i
+    # (the interval_join filter) — offsets are cumulative, so both bounds
+    # come from one searchsorted each
+    lo = np.searchsorted(d_end, starts, side="right")
+    hi = np.searchsorted(d_start, ends, side="left")
+    counts = np.maximum(hi - lo, 0)
+    total = int(counts.sum())
+    ridx = np.repeat(np.arange(len(starts)), counts)
+    base = np.repeat(np.cumsum(counts) - counts, counts)
+    didx = (np.arange(total) - base) + np.repeat(lo, counts)
+    tb = d_start[didx] + sep  # text_base: skip the separator prefix
+    a = np.maximum(starts[ridx], tb) - tb
+    b = np.minimum(ends[ridx], d_end[didx]) - tb
+    keep = b > a
+    didx, a, b = didx[keep], a[keep], b[keep]
+    order = np.lexsort((b, a, didx))
+    didx, a, b = didx[order], a[order], b[order]
+    change = np.nonzero(didx[1:] != didx[:-1])[0] + 1
+    g_starts = np.concatenate(([0], change)) if len(didx) else np.empty(0, int)
+    g_ends = (
+        np.concatenate((change, [len(didx)])) if len(didx) else np.empty(0, int)
+    )
+    rows = [
+        (
+            int(doc_ids[didx[s]]),
+            [(int(a[k]), int(b[k])) for k in range(s, e)],
+        )
+        for s, e in zip(g_starts, g_ends)
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
 def apply_removals(
     docs_with_offsets: DataFrame,
     remove_ranges: DataFrame,
@@ -87,23 +143,40 @@ def apply_removals(
     text_is_binary = isinstance(
         docs_with_offsets.schema["text"].dataType, T.BinaryType
     )
-    # Persist: the spans frame is small (affected docs only) but feeds TWO
-    # consumers — the splice join and the untouched anti-join. Beyond the
-    # obvious recompute cost (each consumer re-runs the interval join and
-    # the whole remove-ranges lineage above it), materializing it once
-    # makes the struck/untouched split consistent BY CONSTRUCTION: both
-    # branches read the same rows, so the output row count always equals
-    # the input doc count.
-    from ..plans.caching import scoped_persist
+    # Driver fast path (round-6): when BOTH the remove ranges and the doc
+    # offsets are already driver-resident (the memos the coalesce /
+    # with_offsets size-guarded fast paths attach), the whole span
+    # assignment — chunk explode, range join, clamp, span groupBy — is two
+    # numpy searchsorted calls on the driver, and the spans frame becomes
+    # a broadcast local relation: the splice join and the untouched
+    # anti-join then run with ZERO exchanges. Work and memory are bounded
+    # by the upstream guards (ranges <= 2^20, docs <= 2^20; ranges are
+    # disjoint so (doc, range) overlap pairs <= ranges + docs). Above
+    # either guard a memo is absent and the distributed join plan below
+    # runs unchanged. Both paths produce identical spans (pytest-pinned).
+    spans = _driver_spans(docs_with_offsets, remove_ranges, cfg)
+    if spans is None:
+        # Persist: the spans frame is small (affected docs only) but feeds
+        # TWO consumers — the splice join and the untouched anti-join.
+        # Beyond the obvious recompute cost (each consumer re-runs the
+        # interval join and the whole remove-ranges lineage above it),
+        # materializing it once makes the struck/untouched split consistent
+        # BY CONSTRUCTION: both branches read the same rows, so the output
+        # row count always equals the input doc count.
+        from ..plans.caching import scoped_persist
 
-    spans = scoped_persist(
-        doc_spans(docs_with_offsets, remove_ranges, cfg)
-        .groupBy("doc_id")
-        # collect_set: doc_spans runs the interval join without its
-        # dropDuplicates exchange; set semantics dedup the multi-chunk
-        # artifact here, on the groupBy exchange we pay anyway
-        .agg(F.array_sort(F.collect_set(F.struct("a", "b"))).alias("spans"))
-    )
+        spans = scoped_persist(
+            doc_spans(docs_with_offsets, remove_ranges, cfg)
+            .groupBy("doc_id")
+            # collect_set: doc_spans runs the interval join without its
+            # dropDuplicates exchange; set semantics dedup the multi-chunk
+            # artifact here, on the groupBy exchange we pay anyway
+            .agg(
+                F.array_sort(F.collect_set(F.struct("a", "b"))).alias("spans")
+            )
+        )
+    else:
+        spans = F.broadcast(spans)
     docs = docs_with_offsets.select(
         "doc_id",
         (

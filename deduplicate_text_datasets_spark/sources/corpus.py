@@ -65,8 +65,13 @@ def with_offsets(docs: DataFrame, with_separators: bool = True) -> DataFrame:
     # 10^12-doc design). Identical offsets either way (pytest + gate).
     guard = int(os.environ.get("SPARK_GRAFT_OFFSETS_DRIVER_MAX", str(1 << 20)))
     if guard > 0:
-        probe = lens.limit(guard + 1).toPandas()
-        if len(probe) <= guard:
+        from ..plans.caching import probe_rows
+
+        # count+collect probe: the count prunes every column (parquet row
+        # count / cached batch counts — no text IO), the collect then runs
+        # the narrow (doc_id, doc_len) projection exactly once
+        probe = probe_rows(lens, guard)
+        if probe is not None:
             pdf = probe.sort_values("doc_id", ignore_index=True)
             dl = pdf["doc_len"].to_numpy(np.int64)
             ends = np.cumsum(dl)
@@ -76,7 +81,20 @@ def with_offsets(docs: DataFrame, with_separators: bool = True) -> DataFrame:
                 pdf,
                 "doc_id long, doc_len long, byte_start long, byte_end long",
             )
-            return docs.join(F.broadcast(offs), "doc_id")
+            out = docs.join(F.broadcast(offs), "doc_id")
+            # Driver-resident byproducts, memoized on the frame (round-6):
+            # the exact corpus total (max byte_end = last cumsum entry) and
+            # the offset arrays themselves. corpus_total_bytes and the
+            # strike fast path read these instead of re-running an agg /
+            # join over the cluster. persist() returns the same object, so
+            # the memo survives the callers' scoped_persist.
+            out._corpus_total_memo = int(ends[-1]) if len(pdf) else 0
+            out._offsets_memo = (
+                pdf["doc_id"].to_numpy(np.int64),
+                pdf["byte_start"].to_numpy(np.int64),
+                pdf["byte_end"].to_numpy(np.int64),
+            )
+            return out
     # integer `div`, not floor(double /): double division loses exactness
     # past 2^53 and doc counts are designed for 10^12
     lens = lens.withColumn("_block", F.expr(f"doc_id div {BLOCK_DOCS}"))
@@ -118,6 +136,9 @@ def auto_shard_bytes(
 
 
 def corpus_total_bytes(docs_with_offsets: DataFrame) -> int:
+    memo = getattr(docs_with_offsets, "_corpus_total_memo", None)
+    if memo is not None:
+        return int(memo)
     row = docs_with_offsets.agg(F.max("byte_end").alias("t")).collect()[0]
     return int(row["t"] or 0)
 
