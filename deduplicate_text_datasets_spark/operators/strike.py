@@ -69,23 +69,30 @@ def _driver_spans(
     docs_with_offsets: DataFrame,
     remove_ranges: DataFrame,
     cfg: ExactSubstrConfig,
-) -> DataFrame | None:
-    """(doc_id, spans) for affected docs as a LOCAL frame, computed on the
-    driver from the ranges/offsets memos — or None when either memo is
-    absent (caller runs the distributed join plan). Exact twin of
-    doc_spans + groupBy(collect_set): ranges are disjoint and each (doc,
-    range) overlap meets in exactly one place here, so no dedup is needed;
-    spans are emitted sorted by (a, b) like array_sort produced."""
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray] | None:
+    """Per-doc text-local spans for affected docs, computed on the driver
+    from the ranges/offsets memos — or None when either memo is absent
+    (caller runs the distributed join plan). Exact twin of doc_spans +
+    groupBy(collect_set): ranges are disjoint and each (doc, range)
+    overlap meets in exactly one place here, so no dedup is needed.
+
+    Returns (touched_doc_ids sorted, a, b, group_offsets): doc i's spans
+    are a[group_offsets[i]:group_offsets[i+1]] (ascending — splicing them
+    right-to-left preserves earlier offsets, as the reference does)."""
     ranges_arr = getattr(remove_ranges, "_driver_ranges_memo", None)
     offs = getattr(docs_with_offsets, "_offsets_memo", None)
     if ranges_arr is None or offs is None:
         return None
     doc_ids, d_start, d_end = offs
     sep = SEP_BYTES if cfg.with_separators else 0
-    spark = docs_with_offsets.sparkSession
-    schema = "doc_id long, spans array<struct<a: bigint, b: bigint>>"
+    empty = (
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        np.zeros(1, np.int64),
+    )
     if len(ranges_arr) == 0 or len(doc_ids) == 0:
-        return spark.createDataFrame([], schema)
+        return empty
     starts = ranges_arr[:, 0]
     ends = ranges_arr[:, 1]
     # docs overlapping range i: byte_start < end_i AND byte_end > start_i
@@ -103,21 +110,19 @@ def _driver_spans(
     b = np.minimum(ends[ridx], d_end[didx]) - tb
     keep = b > a
     didx, a, b = didx[keep], a[keep], b[keep]
+    if len(didx) == 0:
+        return empty
     order = np.lexsort((b, a, didx))
     didx, a, b = didx[order], a[order], b[order]
     change = np.nonzero(didx[1:] != didx[:-1])[0] + 1
-    g_starts = np.concatenate(([0], change)) if len(didx) else np.empty(0, int)
-    g_ends = (
-        np.concatenate((change, [len(didx)])) if len(didx) else np.empty(0, int)
+    g_starts = np.concatenate(([0], change))
+    goff = np.concatenate((g_starts, [len(didx)])).astype(np.int64)
+    return (
+        doc_ids[didx[g_starts]].astype(np.int64),
+        a.astype(np.int64),
+        b.astype(np.int64),
+        goff,
     )
-    rows = [
-        (
-            int(doc_ids[didx[s]]),
-            [(int(a[k]), int(b[k])) for k in range(s, e)],
-        )
-        for s, e in zip(g_starts, g_ends)
-    ]
-    return spark.createDataFrame(rows, schema)
 
 
 def apply_removals(
@@ -143,40 +148,6 @@ def apply_removals(
     text_is_binary = isinstance(
         docs_with_offsets.schema["text"].dataType, T.BinaryType
     )
-    # Driver fast path (round-6): when BOTH the remove ranges and the doc
-    # offsets are already driver-resident (the memos the coalesce /
-    # with_offsets size-guarded fast paths attach), the whole span
-    # assignment — chunk explode, range join, clamp, span groupBy — is two
-    # numpy searchsorted calls on the driver, and the spans frame becomes
-    # a broadcast local relation: the splice join and the untouched
-    # anti-join then run with ZERO exchanges. Work and memory are bounded
-    # by the upstream guards (ranges <= 2^20, docs <= 2^20; ranges are
-    # disjoint so (doc, range) overlap pairs <= ranges + docs). Above
-    # either guard a memo is absent and the distributed join plan below
-    # runs unchanged. Both paths produce identical spans (pytest-pinned).
-    spans = _driver_spans(docs_with_offsets, remove_ranges, cfg)
-    if spans is None:
-        # Persist: the spans frame is small (affected docs only) but feeds
-        # TWO consumers — the splice join and the untouched anti-join.
-        # Beyond the obvious recompute cost (each consumer re-runs the
-        # interval join and the whole remove-ranges lineage above it),
-        # materializing it once makes the struck/untouched split consistent
-        # BY CONSTRUCTION: both branches read the same rows, so the output
-        # row count always equals the input doc count.
-        from ..plans.caching import scoped_persist
-
-        spans = scoped_persist(
-            doc_spans(docs_with_offsets, remove_ranges, cfg)
-            .groupBy("doc_id")
-            # collect_set: doc_spans runs the interval join without its
-            # dropDuplicates exchange; set semantics dedup the multi-chunk
-            # artifact here, on the groupBy exchange we pay anyway
-            .agg(
-                F.array_sort(F.collect_set(F.struct("a", "b"))).alias("spans")
-            )
-        )
-    else:
-        spans = F.broadcast(spans)
     docs = docs_with_offsets.select(
         "doc_id",
         (
@@ -185,6 +156,82 @@ def apply_removals(
             else F.lit(None).cast("string")
         ).alias("url"),
         "text",
+    )
+    # Driver fast path (round-6): when BOTH the remove ranges and the doc
+    # offsets are already driver-resident (the memos the coalesce /
+    # with_offsets size-guarded fast paths attach), the whole span
+    # assignment — chunk explode, range join, clamp, span groupBy — is two
+    # numpy searchsorted calls on the driver. The span arrays ride an
+    # executor broadcast into the splice kernel; the touched/untouched
+    # split joins only a FLAT (doc_id) local relation, so the plan has
+    # ZERO exchanges (a nested array<struct> local frame was measured at
+    # seconds of Python->JVM row conversion — flat arrays avoid it). Work
+    # and memory stay bounded by the upstream guards (ranges <= 2^20,
+    # docs <= 2^20; ranges are disjoint so overlap pairs <= ranges +
+    # docs). Above either guard a memo is absent and the distributed join
+    # plan below runs unchanged. Identical output (pytest-pinned).
+    fast = _driver_spans(docs_with_offsets, remove_ranges, cfg)
+    if fast is not None:
+        t_ids, t_a, t_b, t_off = fast
+        spark = docs_with_offsets.sparkSession
+        ids_df = F.broadcast(
+            spark.createDataFrame(
+                pd.DataFrame({"doc_id": t_ids}), "doc_id long"
+            )
+        )
+        bc = spark.sparkContext.broadcast((t_ids, t_a, t_b, t_off))
+
+        def splice_bc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as _np
+
+            ids_, a_, b_, off_ = bc.value
+            for pdf in batches:
+                out = []
+                for doc_id, url, text in zip(
+                    pdf["doc_id"], pdf["url"], pdf["text"]
+                ):
+                    raw = (
+                        bytes(text)
+                        if isinstance(text, (bytes, bytearray))
+                        else text.encode("utf-8")
+                    )
+                    k = int(_np.searchsorted(ids_, doc_id))
+                    # right-to-left so earlier offsets stay valid
+                    # (finish_dedup_wiki40b.py:66-69); spans are stored
+                    # ascending by (a, b)
+                    for j in range(int(off_[k + 1]) - 1, int(off_[k]) - 1, -1):
+                        raw = raw[: int(a_[j])] + raw[int(b_[j]) :]
+                    out.append((int(doc_id), url, raw))
+                yield pd.DataFrame(out, columns=["doc_id", "url", "deduped"])
+
+        struck = docs.join(ids_df, "doc_id").mapInPandas(
+            splice_bc, STRIKE_SCHEMA
+        )
+        untouched = docs.join(ids_df, "doc_id", "left_anti").select(
+            "doc_id",
+            "url",
+            (
+                F.col("text") if text_is_binary else F.encode("text", "UTF-8")
+            ).alias("deduped"),
+        )
+        return struck.unionByName(untouched)
+
+    # Persist: the spans frame is small (affected docs only) but feeds TWO
+    # consumers — the splice join and the untouched anti-join. Beyond the
+    # obvious recompute cost (each consumer re-runs the interval join and
+    # the whole remove-ranges lineage above it), materializing it once
+    # makes the struck/untouched split consistent BY CONSTRUCTION: both
+    # branches read the same rows, so the output row count always equals
+    # the input doc count.
+    from ..plans.caching import scoped_persist
+
+    spans = scoped_persist(
+        doc_spans(docs_with_offsets, remove_ranges, cfg)
+        .groupBy("doc_id")
+        # collect_set: doc_spans runs the interval join without its
+        # dropDuplicates exchange; set semantics dedup the multi-chunk
+        # artifact here, on the groupBy exchange we pay anyway
+        .agg(F.array_sort(F.collect_set(F.struct("a", "b"))).alias("spans"))
     )
     touched = docs.join(spans, "doc_id")
 

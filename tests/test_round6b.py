@@ -240,11 +240,15 @@ def test_driver_spans_matches_doc_spans(spark):
         "start long, end long",
     )
     ranges._driver_ranges_memo = arr
-    fast_df = _driver_spans(off, ranges, cfg)
-    assert fast_df is not None
+    got = _driver_spans(off, ranges, cfg)
+    assert got is not None
+    t_ids, t_a, t_b, t_off = got
     fast = {
-        r["doc_id"]: sorted((s["a"], s["b"]) for s in r["spans"])
-        for r in fast_df.collect()
+        int(t_ids[i]): sorted(
+            (int(t_a[j]), int(t_b[j]))
+            for j in range(int(t_off[i]), int(t_off[i + 1]))
+        )
+        for i in range(len(t_ids))
     }
     slow_rows = (
         doc_spans(off, ranges, cfg)
