@@ -227,7 +227,7 @@ def count_occurrences_indexed(
     qarr = [(int(qid), np.frombuffer(q, dtype=np.uint8)) for qid, q in queries]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows = []
+        rows: list[tuple] = []
         for lo, own_hi, buf, sa in _iter_shards(batches):
             for qid, q in qarr:
                 if len(q) == 0:
@@ -240,22 +240,27 @@ def count_occurrences_indexed(
                 if len(owned) == 0:
                     continue
                 rows.append((qid, int(len(owned)), int(owned.min())))
-        yield pd.DataFrame(
-            rows, columns=["query_id", "cnt", "first_pos"]
-        ).astype({"query_id": "int64", "cnt": "int64", "first_pos": "int64"})
+        out = pd.DataFrame(rows, columns=["query_id", "cnt", "first_pos"])
+        yield out.astype({"query_id": "int64", "cnt": "int64"})
 
-    hits = index.mapInPandas(kernel, QUERY_HITS_SCHEMA)
-    counts = hits.groupBy("query_id").agg(
-        F.sum("cnt").alias("count"), F.min("first_pos").alias("first_pos")
-    )
+    # baseline (qid, 0, null) rows ride the same aggregation as a local
+    # relation: every query reaches the groupBy even with zero hits, so
+    # the result needs no left join back against a query frame (round-6 —
+    # one broadcast join less per call; sum/min treat them as identity)
     spark = index.sparkSession
-    qdf = spark.createDataFrame(
-        [(qid, bytes(q)) for qid, q in queries], "query_id long, query binary"
-    )
-    return qdf.join(counts, "query_id", "left").select(
-        "query_id",
-        F.coalesce(F.col("count"), F.lit(0)).alias("count"),
-        "first_pos",
+    baseline = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": np.array([qid for qid, _ in qarr], np.int64),
+                "cnt": np.zeros(len(qarr), np.int64),
+                "first_pos": pd.array([None] * len(qarr), dtype="Int64"),
+            }
+        ),
+        QUERY_HITS_SCHEMA,
+    )  # pandas input -> local relation (a list parallelizes into RDD slices)
+    hits = index.mapInPandas(kernel, QUERY_HITS_SCHEMA)
+    return hits.unionByName(baseline).groupBy("query_id").agg(
+        F.sum("cnt").alias("count"), F.min("first_pos").alias("first_pos")
     )
 
 

@@ -1083,21 +1083,22 @@ def count_occurrences(
         .groupBy("shard_id")
         .applyInPandas(kernel, QUERY_HITS_SCHEMA)
     )
-    counts = hits.groupBy("query_id").agg(
-        F.sum("cnt").alias("count"), F.min("first_pos").alias("first_pos")
-    )
-    # left join against the full query list so absent queries report 0
+    # baseline (qid, 0, null) rows ride the same aggregation as a local
+    # relation so absent queries report 0 without a left join back against
+    # a query frame (round-6 — one broadcast join less per call)
     spark = docs.sparkSession
-    qdf = spark.createDataFrame(
-        [(qid, bytes(q)) for qid, q in queries], "query_id long, query binary"
-    )
-    return (
-        qdf.join(counts, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce(F.col("count"), F.lit(0)).alias("count"),
-            "first_pos",
-        )
+    baseline = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": np.array([qid for qid, _ in queries], np.int64),
+                "cnt": np.zeros(len(queries), np.int64),
+                "first_pos": pd.array([None] * len(queries), dtype="Int64"),
+            }
+        ),
+        QUERY_HITS_SCHEMA,
+    )  # pandas input -> local relation (a list parallelizes into RDD slices)
+    return hits.unionByName(baseline).groupBy("query_id").agg(
+        F.sum("cnt").alias("count"), F.min("first_pos").alias("first_pos")
     )
 
 

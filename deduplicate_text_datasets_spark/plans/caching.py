@@ -61,21 +61,31 @@ def scoped_persist(
 
 def probe_rows(df: DataFrame, guard: int):
     """Size-probe a frame the caller will consume ENTIRELY when small:
-    count it, and if it holds at most ``guard`` rows return them as a
-    pandas frame (one bounded Arrow pull); else return None.
+    pull it as ONE pandas frame and return it if it holds at most
+    ``guard`` rows, else None (caller runs its distributed plan).
 
     Replaces the limit(guard+1).toPandas() probe pattern (round-6): under
     AQE, CollectLimit's incremental execution turned each probe into a
     3-4 job escalation ladder (scan 1 partition, then 4x more per retry —
-    measured as a chain of ~0.4 s jobs per probe at bench scale), and the
-    over-guard case still shipped guard+1 rows to the driver just to
-    learn the answer. count+toPandas is two fixed jobs, ships nothing
-    when the frame exceeds the guard, and the driver pull stays bounded
-    by the guard by construction. Call on a persisted frame (or one whose
-    lineage is cheap) — both jobs traverse it."""
-    if df.count() > guard:
+    measured as a chain of ~0.4 s jobs per probe at bench scale). A plain
+    toPandas is ONE job; ``spark.driver.maxResultSize`` (default 1 GiB)
+    is the hard backstop for the over-guard case — a frame too big to
+    ship aborts the collect with the documented error, which is caught
+    and treated as "over guard" (the caller's distributed plan runs; one
+    materialization was spent learning that, the same job a count-based
+    probe would have spent). Frames between the row guard and the result
+    cap are pulled once and discarded — bounded waste, driver-safe by
+    construction. Call on a persisted frame (or one whose lineage is
+    cheap): the probe materializes it for the fallback plan."""
+    try:
+        pdf = df.toPandas()
+    except Exception as exc:  # over the driver result cap => over guard
+        if "maxResultSize" not in str(exc):
+            raise
         return None
-    return df.toPandas()
+    if len(pdf) > guard:
+        return None
+    return pdf
 
 
 @contextmanager
