@@ -189,9 +189,13 @@ def candidate_pairs(
             )
             if pairs_pdf is not None:
                 raw.unpersist(blocking=False)
-                return buckets.sparkSession.createDataFrame(
+                out = buckets.sparkSession.createDataFrame(
                     pairs_pdf, "a long, b long"
                 )
+                # driver-resident pairs, memoized: verify_pairs_across can
+                # then run the exact-Jaccard verify on the driver too
+                out._driver_pairs_pdf = pairs_pdf
+                return out
         buckets = raw  # persisted: the distributed plan reuses the cache
 
     # three consumers (size agg + join-back + both sides of the pair
@@ -284,6 +288,48 @@ def oversized_buckets(buckets: DataFrame, cfg: MinHashConfig) -> DataFrame:
     )
 
 
+def _driver_verify_pairs(
+    pairs_pdf: pd.DataFrame,
+    sh_a: pd.DataFrame,
+    sh_b: pd.DataFrame,
+    num: int,
+    den: int,
+) -> pd.DataFrame:
+    """Driver twin of the verify joins: exact shingle-set Jaccard per
+    candidate pair with the SAME integer threshold test and the same
+    int/int -> double division for the reported jaccard. sh frames carry
+    (doc_id, sh array) — shingle sets are already distinct."""
+    map_a = dict(zip(sh_a["doc_id"], sh_a["sh"]))
+    map_b = sh_b if sh_b is None else dict(zip(sh_b["doc_id"], sh_b["sh"]))
+    if map_b is None:
+        map_b = map_a
+    rows = {"a": [], "b": [], "inter": [], "union": [], "jaccard": []}
+    for a, b in zip(pairs_pdf["a"], pairs_pdf["b"]):
+        sa = map_a.get(a)
+        sb = map_b.get(b)
+        if sa is None or sb is None:
+            continue  # an empty-shingle doc never entered the bucket frame
+        sa = np.asarray(sa, dtype=np.int64)
+        sb = np.asarray(sb, dtype=np.int64)
+        inter = len(np.intersect1d(sa, sb))
+        union = len(sa) + len(sb) - inter
+        if inter * den >= num * union:
+            rows["a"].append(int(a))
+            rows["b"].append(int(b))
+            rows["inter"].append(inter)
+            rows["union"].append(union)
+            rows["jaccard"].append(inter / union)
+    return pd.DataFrame(
+        {
+            "a": np.array(rows["a"], np.int64),
+            "b": np.array(rows["b"], np.int64),
+            "inter": np.array(rows["inter"], np.int32),
+            "union": np.array(rows["union"], np.int32),
+            "jaccard": np.array(rows["jaccard"], np.float64),
+        }
+    )
+
+
 def verify_pairs_across(
     pairs: DataFrame,
     shingled_a: DataFrame,
@@ -294,10 +340,50 @@ def verify_pairs_across(
     ``shingled_a`` ONLY and side ``b`` against ``shingled_b`` — the two
     frames may use overlapping doc_id spaces (e.g. a new crawl batch vs a
     persisted index) without cross-contamination."""
+    import os
+
     from fractions import Fraction
 
     frac = Fraction(cfg.jaccard_threshold).limit_denominator(1_000_000)
     num, den = frac.numerator, frac.denominator
+
+    # Driver fast path (round-6): when the candidate pairs are already
+    # driver-resident (the LSH driver path fired) and the pair count is
+    # modest, pull the shingle frames (cached — they fed the signature
+    # kernel) and verify in numpy: the two joins, their broadcasts and the
+    # verify stage collapse into bounded pulls + a local relation.
+    # Integer threshold + int/int double division are computed identically,
+    # so the edge set AND the reported jaccard are bit-equal (pinned by
+    # test). Above the pair/row guards or when the memo is absent, the
+    # distributed joins below run unchanged.
+    pairs_pdf = getattr(pairs, "_driver_pairs_pdf", None)
+    verify_max = int(
+        os.environ.get("SPARK_GRAFT_VERIFY_DRIVER_MAX", str(1 << 16))
+    )
+    if pairs_pdf is not None and len(pairs_pdf) <= verify_max:
+        from ..plans.caching import probe_rows
+
+        row_guard = int(
+            os.environ.get("SPARK_GRAFT_LSH_DRIVER_MAX", str(1 << 22))
+        )
+        sh_a = probe_rows(shingled_a.select("doc_id", "sh"), row_guard)
+        if sh_a is not None:
+            sh_b = (
+                None
+                if shingled_b is shingled_a
+                else probe_rows(shingled_b.select("doc_id", "sh"), row_guard)
+            )
+            if shingled_b is shingled_a or sh_b is not None:
+                edges_pdf = _driver_verify_pairs(
+                    pairs_pdf, sh_a, sh_b, num, den
+                )
+                out = pairs.sparkSession.createDataFrame(
+                    edges_pdf,
+                    "a long, b long, inter int, `union` int, jaccard double",
+                )
+                # memoized for neardup_clusters' driver CC fast path
+                out._driver_edges_pdf = edges_pdf
+                return out
     sa = shingled_a.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
     sb = shingled_b.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
     j = (
@@ -383,9 +469,11 @@ def candidate_pairs_across(
             if pairs_pdf is not None:
                 raw_a.unpersist(blocking=False)
                 raw_b.unpersist(blocking=False)
-                return buckets_a.sparkSession.createDataFrame(
+                out = buckets_a.sparkSession.createDataFrame(
                     pairs_pdf, "a long, b long"
                 )
+                out._driver_pairs_pdf = pairs_pdf  # see candidate_pairs
+                return out
         buckets_a, buckets_b = raw_a, raw_b  # persisted for the plans below
 
     if copartition:

@@ -34,6 +34,49 @@ from ..sources.corpus import corpus_total_bytes, with_offsets
 from .checkpoints import StageStore, config_fingerprint
 
 
+def _driver_neardup_assign(docs, mh):
+    """Driver twin of the neardup edge-union + CC stage, or None when any
+    fast-path ingredient is missing. MinHash edges must already be
+    driver-resident (verify fast path memo on ``mh``); exact-dup edges
+    come from one bounded pull of the (doc_id, md5) projection; components
+    from the CC module's numpy kernel (same min-label contract as the
+    star rounds)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.connected_components import _driver_components
+    from ..plans.caching import probe_rows
+
+    mh_pdf = getattr(mh, "_driver_edges_pdf", None)
+    if mh_pdf is None:
+        return None
+    guard = int(os.environ.get("SPARK_GRAFT_CC_DRIVER_MAX", str(1 << 22)))
+    hp = probe_rows(docs.select("doc_id", F.md5("text").alias("h")), guard)
+    if hp is None:
+        return None
+    # exact_duplicate_edges twin: per md5 group, (min doc_id, member) for
+    # every non-min member
+    gmin = hp.groupby("h")["doc_id"].transform("min")
+    mask = hp["doc_id"] != gmin
+    u = np.concatenate(
+        [mh_pdf["a"].to_numpy(np.int64), gmin[mask].to_numpy(np.int64)]
+    )
+    v = np.concatenate(
+        [mh_pdf["b"].to_numpy(np.int64), hp["doc_id"][mask].to_numpy(np.int64)]
+    )
+    if len(u) == 0:
+        assign_pdf = pd.DataFrame(
+            {"node": np.empty(0, np.int64), "component": np.empty(0, np.int64)}
+        )
+    else:
+        assign_pdf = _driver_components(pd.DataFrame({"u": u, "v": v}))
+    return docs.sparkSession.createDataFrame(
+        assign_pdf, "node long, component long"
+    )
+
+
 def neardup_clusters(
     docs: DataFrame,
     cfg: EngineConfig,
@@ -48,32 +91,56 @@ def neardup_clusters(
     reference CSVs carry exactly (id, deleted, cluster) — README.md:367-376).
     """
 
-    def build_edges() -> DataFrame:
-        mh = near_duplicate_edges(
-            docs, cfg.minhash, copartition=copartition
-        ).select(
-            F.col("a").alias("src"), F.col("b").alias("dst")
+    assign = None
+    mh_frame = None
+    if store is None:
+        # Driver CC fast path (round-6): when the MinHash edge set came out
+        # of the driver verify path (memoized pandas frame), the exact-dup
+        # edges reduce to one bounded pull of the (doc_id, md5) projection
+        # and the component assignment is one numpy pass — the edge union,
+        # CC's own probe and the md5 groupBy/join-back all collapse. The
+        # assignment is identical (same edge set into the same
+        # min-label CC; pinned by test). With a StageStore, or when any
+        # memo/guard is missing, the distributed graph below runs
+        # unchanged, reusing the SAME mh frame (no double construction).
+        mh_frame = near_duplicate_edges(docs, cfg.minhash, copartition=copartition)
+        assign = _driver_neardup_assign(docs, mh_frame)
+    if assign is None:
+
+        def build_edges() -> DataFrame:
+            mh_f = (
+                mh_frame
+                if mh_frame is not None
+                else near_duplicate_edges(docs, cfg.minhash, copartition=copartition)
+            )
+            mh = mh_f.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            ex = exact_duplicate_edges(docs)
+            # no .distinct() here (round-6): connected_components
+            # canonicalizes and dedups its input either way — the extra
+            # exchange bought nothing (assignments are identical under
+            # duplicate edges)
+            return mh.unionByName(ex)
+
+        edges = (
+            store.stage("neardup_edges", build_edges)
+            if store
+            else build_edges()
         )
-        ex = exact_duplicate_edges(docs)
-        # no .distinct() here (round-6): connected_components canonicalizes
-        # and dedups its input either way — the extra exchange bought
-        # nothing (assignments are identical under duplicate edges)
-        return mh.unionByName(ex)
 
-    edges = store.stage("neardup_edges", build_edges) if store else build_edges()
+        def build_assign() -> DataFrame:
+            # nodes= is deliberately NOT passed (round-6): the left join +
+            # coalesce(component, doc_id) below already assigns every
+            # docless singleton to itself — passing nodes made CC distinct
+            # + join the full doc-id frame for an identical final result
+            return connected_components(edges)
 
-    def build_assign() -> DataFrame:
-        # nodes= is deliberately NOT passed (round-6): the left join +
-        # coalesce(component, doc_id) below already assigns every docless
-        # singleton to itself — passing nodes made CC distinct + join the
-        # full doc-id frame for an identical final result
-        return connected_components(edges)
-
-    assign = (
-        store.stage("neardup_components", build_assign, upstream=["neardup_edges"])
-        if store
-        else build_assign()
-    )
+        assign = (
+            store.stage(
+                "neardup_components", build_assign, upstream=["neardup_edges"]
+            )
+            if store
+            else build_assign()
+        )
     out = (
         docs.select("doc_id", "url")
         .join(assign, docs["doc_id"] == assign["node"], "left")

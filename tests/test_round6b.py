@@ -153,6 +153,40 @@ def test_simhash_driver_path_salted_region_parity(spark, monkeypatch):
     assert fast == slow and fast
 
 
+def test_driver_verify_and_cc_vs_distributed(spark, monkeypatch):
+    """neardup_clusters end to end: the driver verify + md5-edge + CC fast
+    path must produce the identical cluster assignment as the fully
+    distributed graph (all fast paths disabled via the env guards)."""
+    from deduplicate_text_datasets_spark.plans.pipeline import (
+        neardup_clusters,
+    )
+
+    d = _docs(spark)
+    fast = sorted(map(tuple, neardup_clusters(d, EngineConfig()).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_LSH_DRIVER_MAX", "0")
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_MAX", "0")
+    slow = sorted(map(tuple, neardup_clusters(d, EngineConfig()).collect()))
+    assert fast == slow and fast
+    assert any(r[3] for r in fast)  # some duplicates were found
+
+
+def test_driver_verify_jaccard_bitparity(spark, monkeypatch):
+    """The driver verify must reproduce the Catalyst inter/union ints AND
+    the double-divided jaccard bit-for-bit (across shape: odd vs even)."""
+    from deduplicate_text_datasets_spark.operators.minhash import (
+        near_duplicate_edges_across,
+    )
+
+    cfg = MinHashConfig()
+    d = _docs(spark)
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 == 1)
+    fast = sorted(map(tuple, near_duplicate_edges_across(a, b, cfg).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_VERIFY_DRIVER_MAX", "0")
+    slow = sorted(map(tuple, near_duplicate_edges_across(a, b, cfg).collect()))
+    assert fast == slow and fast
+
+
 def test_offsets_memo_matches_agg(spark, monkeypatch):
     from deduplicate_text_datasets_spark.sources.corpus import (
         corpus_total_bytes,
