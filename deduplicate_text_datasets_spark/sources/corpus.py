@@ -124,13 +124,16 @@ def auto_shard_bytes(
     total_bytes: int,
     parallelism: int,
     waves: int = 3,
-    min_bytes: int = 128 * 1024,
+    min_bytes: int = 64 * 1024,
     max_bytes: int = 64 * 1024 * 1024,
 ) -> int:
     """Pick a shard width giving ~``waves`` tasks per core, clamped to
-    [128 KiB, 64 MiB]. At petabyte scale the 64 MiB cap dominates (shard
-    text + fingerprints ~25 bytes/byte must fit one executor core); at test
-    scale the floor keeps overlap overhead < 1%."""
+    [64 KiB, 64 MiB]. At petabyte scale the 64 MiB cap dominates (shard
+    text + fingerprints ~25 bytes/byte must fit one executor core); at
+    test scale the floor bounds overlap overhead (1 KiB overlap / 64 KiB
+    = 1.6%) — the round-6 A/B at sf0.1 measured the old 128 KiB floor
+    running the fingerprint/SA kernels 12-wide on 32 cores (warm 2.66 s)
+    vs 24-wide at 64 KiB (2.29-2.37 s); 32 KiB bought nothing further."""
     ideal = max(1, total_bytes // max(1, parallelism * waves))
     return max(min_bytes, min(max_bytes, ideal))
 
