@@ -72,8 +72,12 @@ def _driver_neardup_assign(docs, mh):
         )
     else:
         assign_pdf = _driver_components(pd.DataFrame({"u": u, "v": v}))
-    return docs.sparkSession.createDataFrame(
-        assign_pdf, "node long, component long"
+    # broadcast hint: the assignment is a guard-bounded local relation, so
+    # the final docs join must not plan a docs-side exchange (the static
+    # plan otherwise picks SMJ and AQE may materialize that exchange
+    # before re-planning)
+    return F.broadcast(
+        docs.sparkSession.createDataFrame(assign_pdf, "node long, component long")
     )
 
 
