@@ -113,28 +113,37 @@ def simhash_candidates(
     # it. Co-partitioned on the block key before caching (the
     # suffix.self_similar copartition design) so the consumers run on the
     # cached partitioning instead of re-exchanging per consumer.
-    exploded = fingerprints.select(
-        "doc_id",
-        "fingerprint",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("fingerprint", shift).bitwiseAND(
-                        F.lit((1 << width) - 1)
-                    )
-                    for shift, width in blocks
-                ]
-            )
-        ).alias("block", "value"),
-    )
+    def exploded_from(src: DataFrame) -> DataFrame:
+        return src.select(
+            "doc_id",
+            "fingerprint",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned("fingerprint", shift).bitwiseAND(
+                            F.lit((1 << width) - 1)
+                        )
+                        for shift, width in blocks
+                    ]
+                )
+            ).alias("block", "value"),
+        )
+
+    exploded = exploded_from(fingerprints)
     # Size-adaptive driver fast path (round-6, same design as
-    # minhash.candidate_pairs): under the guard, the block exchange, size
-    # agg, join-back, hot probe, pair self-join, salted grid and distinct
-    # collapse into one bounded Arrow pull + a numpy pass emitting the
-    # identical distinct (a, b, fa, fb) set (fingerprints ride as pair
-    # payload). Above the row guard or pair budget, the distributed plan
-    # runs unchanged from the same persisted frame.
+    # minhash.candidate_pairs): under the guard, the block explode, block
+    # exchange, size agg, join-back, hot probe, pair self-join, salted
+    # grid and distinct collapse into one bounded Arrow pull of the
+    # PER-DOC fingerprint frame (1 row/doc — the explode happens in numpy
+    # with the same unsigned shift/mask as the Catalyst expression) + a
+    # numpy pass emitting the identical distinct (a, b, fa, fb) set.
+    # Above the row guard or pair budget, the distributed plan runs
+    # unchanged, reusing the probed fingerprint cache under its exploded
+    # projection.
     import os
+
+    import numpy as np
+    import pandas as pd
 
     from ..plans.caching import probe_rows
     from .salted_join import driver_bucket_pairs
@@ -144,11 +153,35 @@ def simhash_candidates(
         os.environ.get("SPARK_GRAFT_LSH_DRIVER_PAIR_MAX", str(1 << 22))
     )
     if driver_max > 0:
-        raw = scoped_persist(exploded)
+        raw = scoped_persist(fingerprints)
         pdf = probe_rows(raw, driver_max)
         if pdf is not None:
+            fp_u = pdf["fingerprint"].to_numpy(np.int64).view(np.uint64)
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            exp = pd.DataFrame(
+                {
+                    "doc_id": np.tile(ids, len(blocks)),
+                    "fingerprint": np.tile(
+                        fp_u.view(np.int64), len(blocks)
+                    ),
+                    "block": np.repeat(
+                        np.arange(len(blocks), dtype=np.int64), len(ids)
+                    ),
+                    "value": np.concatenate(
+                        [
+                            (
+                                (fp_u >> np.uint64(shift))
+                                & np.uint64((1 << width) - 1)
+                            ).view(np.int64)
+                            for shift, width in blocks
+                        ]
+                    )
+                    if len(ids)
+                    else np.empty(0, np.int64),
+                }
+            )
             pairs_pdf = driver_bucket_pairs(
-                pdf,
+                exp,
                 ["block", "value"],
                 salted_bucket_max,
                 pair_cap,
@@ -162,7 +195,9 @@ def simhash_candidates(
                 return fingerprints.sparkSession.createDataFrame(
                     pairs_pdf, "a long, b long, fa long, fb long"
                 )
-        exploded = raw  # persisted: the distributed plan reuses the cache
+        # persisted: the distributed plan's exploded projection reuses the
+        # cached fingerprint frame (the kernel never re-runs)
+        exploded = exploded_from(raw)
 
     if copartition:
         exploded = exploded.repartition("block", "value")
