@@ -192,9 +192,13 @@ def simhash_candidates(
                 pairs_pdf = pairs_pdf.rename(
                     columns={"fingerprint_a": "fa", "fingerprint_b": "fb"}
                 )
-                return fingerprints.sparkSession.createDataFrame(
+                out = fingerprints.sparkSession.createDataFrame(
                     pairs_pdf, "a long, b long, fa long, fb long"
                 )
+                # driver-resident candidates, memoized: simhash_pairs can
+                # then run the hamming verify in numpy too
+                out._driver_pairs_pdf = pairs_pdf
+                return out
         # persisted: the distributed plan's exploded projection reuses the
         # cached fingerprint frame (the kernel never re-runs)
         exploded = exploded_from(raw)
@@ -259,6 +263,34 @@ def simhash_pairs(
     """documents -> (a, b, hamming) pairs with popcount(xor) <= k."""
     fps = simhash_fingerprints(docs, text_col)
     cand = simhash_candidates(fps, cfg)
+    cand_pdf = getattr(cand, "_driver_pairs_pdf", None)
+    if cand_pdf is not None:
+        # hamming verify on the driver-resident candidates: popcount of
+        # the int64 xor, bit-identical to Catalyst bit_count(fa ^ fb) —
+        # the evaluated candidate relation (LocalTableScan parallelized to
+        # defaultParallelism near-empty slices) and its filter stage drop
+        # out of the plan entirely
+        xor = np.bitwise_xor(
+            cand_pdf["fa"].to_numpy(np.int64), cand_pdf["fb"].to_numpy(np.int64)
+        ).view(np.uint64)
+        pc = (
+            np.unpackbits(xor.view(np.uint8).reshape(len(xor), 8), axis=1)
+            .sum(axis=1)
+            .astype(np.int32)
+            if len(xor)
+            else np.empty(0, np.int32)
+        )
+        keep = pc <= cfg.hamming_k
+        out_pdf = pd.DataFrame(
+            {
+                "a": cand_pdf["a"].to_numpy(np.int64)[keep],
+                "b": cand_pdf["b"].to_numpy(np.int64)[keep],
+                "hamming": pc[keep],
+            }
+        )
+        return docs.sparkSession.createDataFrame(
+            out_pdf, "a long, b long, hamming int"
+        )
     return (
         cand.withColumn(
             "hamming",
