@@ -172,14 +172,58 @@ def apply_removals(
     # plan below runs unchanged. Identical output (pytest-pinned).
     fast = _driver_spans(docs_with_offsets, remove_ranges, cfg)
     if fast is not None:
+        import os
+
         t_ids, t_a, t_b, t_off = fast
         spark = docs_with_offsets.sparkSession
+        bc = spark.sparkContext.broadcast((t_ids, t_a, t_b, t_off))
+        # Single-pass variant: when the whole corpus is small (total-bytes
+        # memo under the guard), ship EVERY doc through one splice kernel
+        # — untouched rows pass through byte-unchanged — instead of the
+        # touched/untouched join split: one 32-task stage, zero joins.
+        # The guard matters because the split exists to keep untouched
+        # text out of the Python boundary at scale; under 256 MB the
+        # round trip is cheaper than the second branch + union.
+        total_memo = getattr(docs_with_offsets, "_corpus_total_memo", None)
+        single_max = int(
+            os.environ.get("SPARK_GRAFT_STRIKE_SINGLE_MAX", str(1 << 28))
+        )
+        if total_memo is not None and total_memo <= single_max:
+
+            def splice_all(
+                batches: Iterator[pd.DataFrame],
+            ) -> Iterator[pd.DataFrame]:
+                import numpy as _np
+
+                ids_, a_, b_, off_ = bc.value
+                for pdf in batches:
+                    out = []
+                    for doc_id, url, text in zip(
+                        pdf["doc_id"], pdf["url"], pdf["text"]
+                    ):
+                        raw = (
+                            bytes(text)
+                            if isinstance(text, (bytes, bytearray))
+                            else text.encode("utf-8")
+                        )
+                        k = int(_np.searchsorted(ids_, doc_id))
+                        if k < len(ids_) and ids_[k] == doc_id:
+                            for j in range(
+                                int(off_[k + 1]) - 1, int(off_[k]) - 1, -1
+                            ):
+                                raw = raw[: int(a_[j])] + raw[int(b_[j]) :]
+                        out.append((int(doc_id), url, raw))
+                    yield pd.DataFrame(
+                        out, columns=["doc_id", "url", "deduped"]
+                    )
+
+            return docs.mapInPandas(splice_all, STRIKE_SCHEMA)
+
         ids_df = F.broadcast(
             spark.createDataFrame(
                 pd.DataFrame({"doc_id": t_ids}), "doc_id long"
             )
         )
-        bc = spark.sparkContext.broadcast((t_ids, t_a, t_b, t_off))
 
         def splice_bc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import numpy as _np
